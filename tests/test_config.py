@@ -1,0 +1,87 @@
+"""Config and robot-geometry tests."""
+
+import numpy as np
+import pytest
+
+from monoforce_tpu.config import PhysicsConfig, LSSConfig
+from monoforce_tpu.robots import (
+    voxel_downsample, robot_point_cloud, driving_part_masks, load_obj_vertices,
+)
+
+
+def test_presets_build():
+    for robot in ("tradr", "marv", "husky"):
+        cfg = PhysicsConfig(robot=robot)
+        P = cfg.robot_points.shape[0]
+        assert 80 <= P <= 600, f"{robot}: {P} contact points"
+        K = cfg.driving_parts.shape[0]
+        assert K == (2 if robot == "tradr" else 4)
+        assert cfg.driving_parts.shape == (K, P)
+        # driving parts are disjoint and non-empty
+        assert cfg.driving_parts.sum(axis=0).max() <= 1
+        assert cfg.driving_parts.any(axis=1).all()
+
+
+def test_masses_and_damping():
+    cfg = PhysicsConfig(robot="tradr")
+    assert cfg.robot_mass == 40.0
+    np.testing.assert_allclose(cfg.damping, np.sqrt(4 * 40.0 * 50_000.0))
+    assert PhysicsConfig(robot="marv").robot_mass == 60.0
+    assert PhysicsConfig(robot="husky").robot_mass == 50.0
+
+
+def test_grid_shape_and_steps():
+    cfg = PhysicsConfig(robot="tradr")
+    assert cfg.grid_shape == (128, 128)
+    assert cfg.n_sim_steps == 500
+    cfg4 = PhysicsConfig(robot="tradr", grid_res=0.4)
+    assert cfg4.grid_shape == (32, 32)
+
+
+def test_yaml_roundtrip(tmp_path):
+    cfg = PhysicsConfig(robot="marv", grid_res=0.4, traj_sim_time=3.0)
+    p = tmp_path / "cfg.yaml"
+    cfg.to_yaml(str(p))
+    cfg2 = PhysicsConfig.from_yaml(str(p))
+    assert cfg2.robot == "marv"
+    assert cfg2.grid_res == 0.4
+    assert cfg2.traj_sim_time == 3.0
+    assert cfg2.robot_mass == cfg.robot_mass
+    np.testing.assert_allclose(cfg2.robot_points, cfg.robot_points)
+
+
+def test_voxel_downsample_centroids():
+    pts = np.array([[0.01, 0.01, 0.0], [0.09, 0.01, 0.0],   # same voxel
+                    [0.51, 0.0, 0.0]], dtype=np.float32)    # another voxel
+    out = voxel_downsample(pts, 0.1)
+    assert out.shape == (2, 3)
+    got = sorted(out[:, 0].tolist())
+    np.testing.assert_allclose(got, [0.05, 0.51], atol=1e-6)
+
+
+def test_obj_loader(tmp_path):
+    p = tmp_path / "tri.obj"
+    p.write_text("# comment\nv 0 0 0\nv 1.5 0 0\nv 0 2.5 0\nf 1 2 3\n")
+    v = load_obj_vertices(str(p))
+    assert v.shape == (3, 3)
+    np.testing.assert_allclose(v[1], [1.5, 0, 0])
+    cloud = robot_point_cloud("tradr", mesh_path=str(p), voxel_size=0.0)
+    assert cloud.shape == (3, 3)
+
+
+def test_driving_masks_sides():
+    cfg = PhysicsConfig(robot="tradr")
+    pts = cfg.robot_points
+    left, right = cfg.driving_parts
+    assert (pts[left][:, 1] > 0).all()
+    assert (pts[right][:, 1] < 0).all()
+
+
+def test_lss_config_defaults_and_yaml(tmp_path):
+    lss = LSSConfig()
+    assert lss.grid_conf["dbound"] == (0.6, 6.4, 0.1)
+    assert lss.data_aug_conf["final_dim"] == (256, 416)
+    p = tmp_path / "lss.yaml"
+    lss.to_yaml(str(p))
+    lss2 = LSSConfig.from_yaml(str(p))
+    assert tuple(lss2.grid_conf["xbound"]) == (-6.4, 6.4, 0.1)

@@ -1,0 +1,8 @@
+from monoforce_tpu.parallel.sharding import (
+    make_mesh,
+    data_sharding,
+    replicated,
+    shard_batch,
+)
+
+__all__ = ["make_mesh", "data_sharding", "replicated", "shard_batch"]

@@ -14,4 +14,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The environment's axon TPU plugin (sitecustomize) overrides JAX_PLATFORMS
+# from the env; the config update below is what actually pins tests to the
+# virtual 8-device CPU platform.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.devices()[0].platform == "cpu", "tests must run on CPU"

@@ -1,0 +1,98 @@
+"""Lift-Splat-Shoot terrain encoder (flax / NHWC / fixed shapes).
+
+TPU-native re-design of the reference LiftSplatShoot (reference:
+monoforce/src/monoforce/models/terrain_encoder/lss.py:167-302):
+
+- lift: per-camera EfficientNet-B0 features, 1x1 depth-net producing a
+  softmax depth distribution (D bins) ⊗ context (C channels) outer product
+  (lss.py:49-99),
+- splat: fixed-shape masked segment-sum instead of the reference's
+  filter/sort/QuickCumsum (see monoforce_tpu.ops.voxel_pool),
+- shoot: the physics engine consumes the predicted grids
+  (monoforce_tpu.physics).
+
+The public ``__call__`` keeps the reference's tensor convention
+(imgs: (B, N_cams, 3, H, W); outputs: dict of (B, 1, X, Y)) so existing
+tooling maps 1:1; internally everything is NHWC.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from monoforce_tpu.models.terrain_encoder.bev import BevEncode
+from monoforce_tpu.models.terrain_encoder.efficientnet import EfficientNetB0
+from monoforce_tpu.models.terrain_encoder.geometry import (
+    create_frustum, gen_dx_bx, get_geometry,
+)
+from monoforce_tpu.models.terrain_encoder.layers import Up
+from monoforce_tpu.ops.voxel_pool import voxel_pool
+
+__all__ = ["LiftSplatShoot", "CamEncode"]
+
+
+class CamEncode(nn.Module):
+    """Per-camera feature + depth-distribution encoder (lss.py:49-99)."""
+
+    D: int
+    C: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        """x: (B*, H, W, 3) -> (B*, fH, fW, D, C) lifted features."""
+        endpoints = EfficientNetB0()(x, train)
+        h = Up(512)(endpoints["reduction_5"], endpoints["reduction_4"], train)
+        h = nn.Conv(self.D + self.C, (1, 1))(h)
+        depth = nn.softmax(h[..., :self.D], axis=-1)        # (B*, fH, fW, D)
+        ctx = h[..., self.D:self.D + self.C]                 # (B*, fH, fW, C)
+        return depth[..., :, None] * ctx[..., None, :]       # outer product
+
+
+class LiftSplatShoot(nn.Module):
+    """grid_conf/data_aug_conf-driven LSS encoder with three terrain heads."""
+
+    grid_conf: Any
+    data_aug_conf: Any
+    outC: int = 1
+    camC: int = 64
+    downsample: int = 16
+
+    def setup(self):
+        dx, bx, nx = gen_dx_bx(self.grid_conf["xbound"],
+                               self.grid_conf["ybound"],
+                               self.grid_conf["zbound"])
+        self.dx, self.bx, self.nx = jnp.asarray(dx), jnp.asarray(bx), nx
+        self.frustum = create_frustum(self.data_aug_conf["final_dim"],
+                                      self.grid_conf["dbound"],
+                                      self.downsample)
+        self.D = int(self.frustum.shape[0])
+        self.camencode = CamEncode(self.D, self.camC)
+        self.bevencode = BevEncode(self.outC)
+
+    def get_cam_feats(self, imgs, train: bool = False):
+        """imgs: (B, N, 3, H, W) -> (B, N, D, fH, fW, C)."""
+        B, N, C_in, H, W = imgs.shape
+        x = imgs.reshape(B * N, C_in, H, W).transpose(0, 2, 3, 1)  # NHWC
+        feats = self.camencode(x, train)                 # (B*N, fH, fW, D, C)
+        fH, fW = feats.shape[1], feats.shape[2]
+        feats = feats.transpose(0, 3, 1, 2, 4)           # (B*N, D, fH, fW, C)
+        return feats.reshape(B, N, self.D, fH, fW, self.camC)
+
+    def get_voxels(self, imgs, rots, trans, intrins, post_rots, post_trans,
+                   train: bool = False):
+        geom = get_geometry(self.frustum, rots, trans, intrins,
+                            post_rots, post_trans)
+        feats = self.get_cam_feats(imgs, train)
+        return voxel_pool(geom, feats, self.dx, self.bx, self.nx)
+
+    def __call__(self, imgs, rots, trans, intrins, post_rots, post_trans,
+                 train: bool = False) -> Dict[str, jnp.ndarray]:
+        """Returns {'geom','terrain','diff','friction'}: (B, outC, X, Y)."""
+        bev = self.get_voxels(imgs, rots, trans, intrins, post_rots,
+                              post_trans, train)
+        out = self.bevencode(bev, train)
+        # NHWC -> reference NCHW convention
+        return {k: v.transpose(0, 3, 1, 2) for k, v in out.items()}

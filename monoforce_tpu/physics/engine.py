@@ -284,9 +284,30 @@ def _update_state(robot: RobotModel, state: RigidState, dstate) -> RigidState:
     return RigidState(x, xd, R, omega)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _identity_clip_grad(limit: float, x):
+    """Identity in the forward pass; clips the cotangent elementwise in the
+    backward pass.  Applied to the scan carry to keep BPTT through the stiff
+    contact dynamics from overflowing f32 (the reference instead crashes on
+    NaN losses, train.py:161-163)."""
+    return x
+
+
+def _icg_fwd(limit, x):
+    return x, None
+
+
+def _icg_bwd(limit, _, g):
+    return (jax.tree.map(lambda t: jnp.clip(t, -limit, limit), g),)
+
+
+_identity_clip_grad.defvjp(_icg_fwd, _icg_bwd)
+
+
 def rollout_single(robot: RobotModel, z_grid, friction, controls, joint_angles,
                    state0: RigidState, return_forces: bool = True,
-                   extras_fn: Optional[Callable] = None):
+                   extras_fn: Optional[Callable] = None,
+                   bptt_grad_clip: Optional[float] = None):
     """Roll one trajectory for N = controls.shape[0] steps.
 
     Matches the reference `dphysics()` driver (dphysics.py:530-594): settle,
@@ -303,6 +324,8 @@ def rollout_single(robot: RobotModel, z_grid, friction, controls, joint_angles,
 
     def step(state, inp):
         control, joints = inp
+        if bptt_grad_clip is not None:
+            state = _identity_clip_grad(bptt_grad_clip, state)
         dstate, forces = forward_kinematics(robot, z_grid, friction,
                                             state, control, joints)
         new_state = _update_state(robot, state, dstate)
@@ -339,10 +362,12 @@ def _default_state0(controls) -> RigidState:
     return RigidState(x, xd, R, omega)
 
 
-@functools.partial(jax.jit, static_argnames=("return_forces", "extras_fn"))
+@functools.partial(jax.jit, static_argnames=("return_forces", "extras_fn",
+                                              "bptt_grad_clip"))
 def rollout(robot: RobotModel, z_grid, controls, joint_angles=None,
             state0: Optional[RigidState] = None, friction=None,
-            return_forces: bool = True, extras_fn: Optional[Callable] = None):
+            return_forces: bool = True, extras_fn: Optional[Callable] = None,
+            bptt_grad_clip: Optional[float] = None):
     """Batched differentiable rollout (the reference ``DPhysics.forward``).
 
     Args:
@@ -371,7 +396,8 @@ def rollout(robot: RobotModel, z_grid, controls, joint_angles=None,
         state0 = _default_state0(controls)
 
     fn = functools.partial(rollout_single, robot,
-                           return_forces=return_forces, extras_fn=extras_fn)
+                           return_forces=return_forces, extras_fn=extras_fn,
+                           bptt_grad_clip=bptt_grad_clip)
     return jax.vmap(fn)(z_grid, friction, controls, joint_angles, state0)
 
 

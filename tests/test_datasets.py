@@ -1,0 +1,116 @@
+"""Dataset-layer tests on a synthetic ROUGH-layout sequence."""
+
+import numpy as np
+import pytest
+
+from fixtures import make_sequence, tiny_lss_cfg
+from monoforce_tpu.config import PhysicsConfig
+from monoforce_tpu.datasets import ROUGH, estimate_heightmap_np
+from monoforce_tpu.utils import compile_data, NumpyLoader
+
+
+@pytest.fixture(scope="module")
+def seq(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    return make_sequence(str(root), n_frames=4)
+
+
+@pytest.fixture(scope="module")
+def ds(seq):
+    return ROUGH(seq, lss_cfg=tiny_lss_cfg(),
+                 dphys_cfg=PhysicsConfig(robot="tradr", traj_sim_time=2.0))
+
+
+def test_len_and_ids(ds):
+    assert len(ds) == 4
+    assert ds.stamp(0) == pytest.approx(100.0)
+    assert ds.stamp(1) == pytest.approx(100.2)
+
+
+def test_sample_tuple_shapes(ds):
+    s = ds[0]
+    (imgs, rots, trans, intrins, post_rots, post_trans,
+     hm_geom, hm_terrain, control_ts, controls, pose0,
+     traj_ts, Xs, Xds, Rs, Omegas) = s
+    N = 4  # cameras
+    assert imgs.shape == (N, 3, 32, 64)
+    assert rots.shape == (N, 3, 3) and trans.shape == (N, 3)
+    assert intrins.shape == (N, 3, 3)
+    assert post_rots.shape == (N, 3, 3) and post_trans.shape == (N, 3)
+    assert hm_geom.shape == (2, 128, 128)
+    assert hm_terrain.shape == (2, 128, 128)
+    n_ctrl = int(2.0 / 0.01)
+    assert control_ts.shape == (n_ctrl,) and controls.shape == (n_ctrl, 2)
+    assert pose0.shape == (4, 4)
+    n_traj = int(np.ceil(2.0 / 0.1))
+    assert traj_ts.shape == (n_traj,)
+    assert Xs.shape == (n_traj, 3) and Rs.shape == (n_traj, 3, 3)
+    assert Xds.shape == (n_traj, 3) and Omegas.shape == (n_traj, 3)
+
+
+def test_controls_interpolated_constant(ds):
+    _, controls = ds.get_controls(0)
+    # the fixture commands constant (0.5, 0.1); zero-padded beyond recording
+    mid = controls[: len(controls) // 2]
+    np.testing.assert_allclose(mid[5], [0.5, 0.1], atol=1e-5)
+
+
+def test_traj_moves_forward(ds):
+    ts, (Xs, Xds, Rs, Om) = ds.get_states_traj(0)
+    assert Xs[-1, 0] > Xs[0, 0] + 0.5  # drives ~0.5 m/s in +x
+    assert abs(Xs[-1, 1]) < 0.1
+    # finite-difference velocity matches the commanded speed
+    np.testing.assert_allclose(Xds[:-1, 0], 0.5, atol=0.05)
+
+
+def test_heightmaps_cached_and_masked(ds, seq):
+    import os
+    hm = ds.get_geom_height_map(0)
+    assert os.path.exists(os.path.join(seq, "terrain", "geom"))
+    mask = hm[1]
+    assert 0.0 < mask.mean() < 1.0  # partial coverage
+    # the bump at x~2 shows up in measured cells
+    assert hm[0].max() > 0.2
+    hm2 = ds.get_geom_height_map(0)  # cache hit
+    np.testing.assert_allclose(hm, hm2)
+
+
+def test_terrain_heightmap_contains_footprint(ds):
+    hm = ds.get_terrain_height_map(0)
+    assert hm.shape == (2, 128, 128)
+    assert hm[1].sum() > 0  # footprint points always exist
+
+
+def test_estimate_heightmap_np_matches_jax_op():
+    import jax.numpy as jnp
+    from monoforce_tpu.ops import estimate_heightmap
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-7, 7, (500, 3)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-1, 1, 500)
+    a = estimate_heightmap_np(pts, 0.1, 6.4, 2.0, r_min=0.6)
+    b = np.asarray(estimate_heightmap(jnp.asarray(pts), 0.1, 6.4, 2.0, r_min=0.6))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_compile_data_and_loader(seq):
+    def Data(path, is_train=False):
+        return ROUGH(path, lss_cfg=tiny_lss_cfg(),
+                     dphys_cfg=PhysicsConfig(robot="tradr", traj_sim_time=2.0),
+                     is_train=is_train)
+
+    train_ds, val_ds = compile_data([seq], Data, val_fraction=0.25)
+    assert len(train_ds) == 3 and len(val_ds) == 1
+    loader = NumpyLoader(train_ds, batch_size=2, shuffle=True)
+    batch = next(iter(loader))
+    assert batch[0].shape[0] == 2          # imgs (B, N, 3, h, w)
+    assert batch[0].dtype == np.float32
+    assert batch[10].shape == (2, 4, 4)    # pose0
+
+
+def test_train_aug_is_stochastic(seq):
+    ds_train = ROUGH(seq, lss_cfg=tiny_lss_cfg(),
+                     dphys_cfg=PhysicsConfig(robot="tradr", traj_sim_time=2.0),
+                     is_train=True)
+    a = ds_train.get_images_data(0)[0]
+    b = ds_train.get_images_data(0)[0]
+    assert not np.allclose(a, b)  # random resize/rot differ between draws

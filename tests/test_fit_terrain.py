@@ -86,7 +86,8 @@ def test_graft_entry():
     import __graft_entry__ as g
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
-    xs, costs = out
-    assert xs.shape == (64, 100, 3)
-    assert costs.shape == (64,)
+    xs, costs, best = out
+    assert xs.shape == (32, 50, 3)
+    assert costs.shape == (32,)
+    assert 0 <= int(best) < 32
     g.dryrun_multichip(8)

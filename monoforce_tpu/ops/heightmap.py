@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["estimate_heightmap", "filter_grid", "hm_to_cloud"]
+__all__ = ["estimate_heightmap", "filter_grid", "hm_to_cloud",
+           "inpaint_heightmap", "local_heightmap"]
 
 
 def estimate_heightmap(points, grid_res: float, d_max: float, h_max: float,
@@ -88,3 +89,41 @@ def hm_to_cloud(height, d_max: float, mask=None):
     if mask is not None:
         cloud = cloud[jnp.asarray(mask).reshape(-1).astype(bool)]
     return cloud
+
+
+def inpaint_heightmap(hm, mask, iters: int = 16):
+    """Fill unmeasured cells by iterative neighbor averaging (a jittable
+    stand-in for the scipy ``griddata`` interpolation the reference's GT
+    gridmap publisher uses, monoforce_navigation/nodes/
+    publish_gt_gridmap:169-184)."""
+    hm = jnp.asarray(hm, jnp.float32)
+    m = jnp.asarray(mask, jnp.float32)
+
+    def body(_, carry):
+        h, w = carry
+        hp = jnp.pad(h * w, 1)
+        wp = jnp.pad(w, 1)
+        num = (hp[:-2, 1:-1] + hp[2:, 1:-1] + hp[1:-1, :-2] + hp[1:-1, 2:])
+        den = (wp[:-2, 1:-1] + wp[2:, 1:-1] + wp[1:-1, :-2] + wp[1:-1, 2:])
+        fill = num / jnp.maximum(den, 1e-6)
+        new_w = jnp.clip(w + (den > 0) * (1 - w), 0.0, 1.0)
+        new_h = jnp.where(w > 0, h, fill)
+        return (new_h, new_w)
+
+    h, _ = jax.lax.fori_loop(0, iters, body, (hm, m))
+    return h
+
+
+def local_heightmap(cloud, robot_pose, grid_res: float, d_max: float,
+                    h_max: float, inpaint_iters: int = 16):
+    """Robot-centric heightmap from a global cloud: transform the cloud into
+    the (yaw-only) robot frame, rasterize, inpaint gaps (the GT gridmap
+    publisher pipeline, publish_gt_gridmap:105-244)."""
+    cloud = jnp.asarray(cloud, jnp.float32)
+    pose = jnp.asarray(robot_pose, jnp.float32)
+    yaw = jnp.arctan2(pose[1, 0], pose[0, 0])
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    Rz = jnp.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+    local = (cloud - pose[:3, 3]) @ Rz
+    hm = estimate_heightmap(local, grid_res, d_max, h_max)
+    return inpaint_heightmap(hm[0], hm[1], inpaint_iters)

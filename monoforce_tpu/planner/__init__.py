@@ -6,6 +6,12 @@ from monoforce_tpu.planner.shooting import (
     normalize_costs,
 )
 from monoforce_tpu.planner.follower import follower_step, FollowerParams
+from monoforce_tpu.planner.selector import (
+    WaypointRoute, select_against_route, path_dists_to_waypoint,
+)
+from monoforce_tpu.planner.controller import (
+    FollowerController, path_time_cost, pose_clear,
+)
 
 __all__ = [
     "Planner",
@@ -15,4 +21,10 @@ __all__ = [
     "normalize_costs",
     "follower_step",
     "FollowerParams",
+    "WaypointRoute",
+    "select_against_route",
+    "path_dists_to_waypoint",
+    "FollowerController",
+    "path_time_cost",
+    "pose_clear",
 ]

@@ -49,8 +49,15 @@ def rough_seq_dirs(data_dir: str):
 def estimate_heightmap_np(points: np.ndarray, grid_res: float, d_max: float,
                           h_max: float, r_min: Optional[float] = None,
                           h_min: Optional[float] = None) -> np.ndarray:
-    """numpy max-z rasterization, same semantics as ops.heightmap (used on
-    the host data path; see cloudproc.py:88-148 incl. the final transpose)."""
+    """Host max-z rasterization, same semantics as ops.heightmap (see
+    cloudproc.py:88-148 incl. the final transpose).  Uses the native C++
+    hostops library when available (the label-generation hot loop over
+    multi-million-point clouds); numpy otherwise."""
+    from monoforce_tpu import native
+    out = native.estimate_heightmap(points, grid_res, d_max, h_max,
+                                    r_min=r_min, h_min=h_min)
+    if out is not None:
+        return out
     pts = points[~np.isnan(points).any(axis=1)]
     if r_min is not None:
         pts = pts[np.linalg.norm(pts[:, :2], axis=1) > r_min]

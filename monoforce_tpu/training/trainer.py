@@ -179,14 +179,34 @@ class Trainer:
         return self.state
 
     # ------------------------------------------------------------ checkpoints
-    def save_checkpoint(self, name: str):
+    def save_checkpoint(self, name: str, full: bool = False):
+        """Model checkpoint; with ``full`` also optimizer state + step for
+        exact resume (the reference only saves state_dicts, train.py:204)."""
         import orbax.checkpoint as ocp
         path = os.path.abspath(os.path.join(self.log_dir, name))
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, {"params": self.state.params,
-                          "batch_stats": self.state.batch_stats},
-                   force=True)
+        payload = {"params": self.state.params,
+                   "batch_stats": self.state.batch_stats}
+        if full:
+            payload["opt_state"] = self.state.opt_state
+            payload["step"] = self.state.step
+        ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
+
+    def resume(self, name: str):
+        """Restore a ``full`` checkpoint into the live train state."""
+        import orbax.checkpoint as ocp
+        assert self.state is not None, "call init_state first"
+        path = os.path.abspath(os.path.join(self.log_dir, name))
+        target = {"params": self.state.params,
+                  "batch_stats": self.state.batch_stats,
+                  "opt_state": self.state.opt_state,
+                  "step": self.state.step}
+        stored = ocp.StandardCheckpointer().restore(path, target=target)
+        self.state = self.state.replace(
+            params=stored["params"], batch_stats=stored["batch_stats"],
+            opt_state=stored["opt_state"], step=stored["step"])
+        return self.state
 
     def load_pretrained(self, path: str, params, batch_stats):
         """Partial restore: overlay stored entries onto fresh init (the

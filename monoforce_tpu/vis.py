@@ -10,7 +10,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["plot_terrain_with_trajs", "plot_rollout_3d", "save_prediction_figure"]
+__all__ = ["plot_terrain_with_trajs", "plot_rollout_3d",
+           "save_prediction_figure", "explore_sample"]
 
 
 def _mpl():
@@ -101,5 +102,43 @@ def save_prediction_figure(terrain: dict, hm_geom, hm_terrain, xs_pred, xs_gt,
     ax.plot(xs_pred[:, 0], xs_pred[:, 1], "r-", label="pred")
     ax.set_title("trajectories"); ax.legend(); ax.grid()
     fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def explore_sample(sample, d_max: float = 6.4, path: str = "sample.png"):
+    """Dataset-sample explorer (reference: utils.py:191-297 explore_data):
+    camera images, geom/terrain heightmap labels and the GT trajectory in
+    one figure.  ``sample`` is the 16-tuple from ROUGH.get_sample."""
+    plt = _mpl()
+    (imgs, rots, trans, intrins, post_rots, post_trans,
+     hm_geom, hm_terrain, control_ts, controls, pose0,
+     traj_ts, Xs, Xds, Rs, Omegas) = sample
+    from monoforce_tpu.datasets.augment import denormalize_img
+
+    n_cams = len(imgs)
+    fig, axes = plt.subplots(2, max(n_cams, 3), figsize=(4 * max(n_cams, 3), 8))
+    for i in range(n_cams):
+        axes[0, i].imshow(denormalize_img(np.asarray(imgs[i])))
+        axes[0, i].set_title(f"camera {i}")
+        axes[0, i].axis("off")
+    for i in range(n_cams, axes.shape[1]):
+        axes[0, i].axis("off")
+
+    for j, (title, hm) in enumerate([("geom label", hm_geom),
+                                     ("terrain label", hm_terrain)]):
+        ax = axes[1, j]
+        im = ax.imshow(np.asarray(hm[0]).T, origin="lower", cmap="jet",
+                       extent=(-d_max, d_max, -d_max, d_max))
+        ax.plot(np.asarray(Xs)[:, 0], np.asarray(Xs)[:, 1], "k-", lw=2)
+        ax.set_title(title)
+        fig.colorbar(im, ax=ax, shrink=0.7)
+    ax = axes[1, 2]
+    ax.plot(np.asarray(traj_ts), np.asarray(Xs)[:, 2], "k-")
+    ax.set_title("trajectory z(t)")
+    ax.grid()
+    for i in range(3, axes.shape[1]):
+        axes[1, i].axis("off")
+    fig.savefig(path, dpi=110, bbox_inches="tight")
     plt.close(fig)
     return path

@@ -20,8 +20,8 @@ Runs on the fast rollout path (monoforce_tpu.physics.fast): SoA component
 planes, one-hot MXU window extraction, amortized window refresh, and a
 Pallas lane-gather kernel for the bilinear taps.  History on v5e:
 naive XLA gathers 8046 ms -> fast path v1 1080 ms -> amortized windows
-362 ms -> Pallas taps 175 ms -> one-hot windows 62 ms single-shot /
-~33 ms sustained.
+362 ms -> Pallas taps 175 ms -> one-hot windows 62 ms single-shot;
+sustained 23 ms with single-register contact presets.
 """
 
 import json

@@ -99,9 +99,12 @@ class PhysicsConfig:
     n_sim_trajs: int = 64
     integration_mode: str = "euler"  # 'euler' | 'rk4'
 
-    # optional mesh source for contact points
+    # optional mesh source for contact points.  The default voxel keeps
+    # every preset's contact set within 128 points — one TPU lane register
+    # in the fast rollout path (the reference uses 0.1 m / ~153 points,
+    # dphys_config.py:8; contact densities are comparable).
     mesh_path: Optional[str] = None
-    mesh_voxel_size: float = 0.1
+    mesh_voxel_size: float = 0.11
 
     # derived (filled in __post_init__)
     robot_mass: float = field(default=0.0)

@@ -36,8 +36,10 @@ _RB = 512  # trajectories per program
 
 def _tap_kernel(patch_ref, idx_ref, out_ref):
     patch = patch_ref[:]          # (RB, 512) [z(256) | friction(256)]
-    idx = idx_ref[:]              # (RB, 256) int32, values in [0, 238]
-    for half in range(2):
+    idx = idx_ref[:]              # (RB, PW) int32, values in [0, 238]
+    n_halves = idx.shape[1] // 128
+    pw = idx.shape[1]
+    for half in range(n_halves):
         ih = idx[:, half * 128:(half + 1) * 128]
         for tap, off in enumerate(TAP_OFFSETS):
             it = ih + off
@@ -50,22 +52,22 @@ def _tap_kernel(patch_ref, idx_ref, out_ref):
                     v = jnp.take_along_axis(src, lidx, axis=1)
                     acc = jnp.where((it // 128) == seg, v, acc)
                 slot = tap * 2 + gi
-                out_ref[:, slot * 256 + half * 128:
-                        slot * 256 + (half + 1) * 128] = acc
+                out_ref[:, slot * pw + half * 128:
+                        slot * pw + (half + 1) * 128] = acc
 
 
 def _pallas_impl(patch, idx):
-    B = patch.shape[0]
+    B, pw = patch.shape[0], idx.shape[1]
     return pl.pallas_call(
         _tap_kernel,
         grid=(B // _RB,),
         in_specs=[
             pl.BlockSpec((_RB, 512), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_RB, 256), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_RB, pw), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_RB, 2048), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((_RB, 8 * pw), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 2048), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, 8 * pw), jnp.float32),
     )(patch, idx)
 
 
@@ -88,8 +90,10 @@ def _impl(patch, idx):
 @jax.custom_vjp
 def gather_taps(patch, idx):
     """patch: (B, 512) f32 flattened [z | friction] windows (row-major 16x16);
-    idx: (B, 256) int32 local flat indices (xl * 16 + yl, padded past P).
-    Returns (B, 2048): eight (B, 256) tap planes, slot = tap * 2 + grid."""
+    idx: (B, PW) int32 local flat indices (xl * 16 + yl, padded past P);
+    PW is the point-lane width (a multiple of 128 — 128 for the default
+    robot presets, whose contact sets fit one register).
+    Returns (B, 8 * PW): eight (B, PW) tap planes, slot = tap * 2 + grid."""
     return _impl(patch, idx)
 
 
@@ -99,13 +103,14 @@ def _fwd(patch, idx):
 
 def _bwd(res, g):
     (B, _), idx = res
+    pw = idx.shape[1]
     dpatch = jnp.zeros((B, 512), g.dtype)
     rows = jnp.arange(B)[:, None]
     for tap, off in enumerate(TAP_OFFSETS):
         for gi in range(2):
             slot = tap * 2 + gi
             dpatch = dpatch.at[rows, gi * 256 + idx + off].add(
-                g[:, slot * 256:(slot + 1) * 256])
+                g[:, slot * pw:(slot + 1) * pw])
     return dpatch, None
 
 

@@ -113,8 +113,9 @@ def _window_interp(patch_flat, sx, sy, qx, qy, d_max, grid_res):
     yl = jnp.clip(yi - sy[:, None], 0, _PATCH - 2)
 
     idx = xl * _PATCH + yl                      # (B, P) in [0, 238]
-    idx = jnp.pad(idx, ((0, 0), (0, 256 - P)))  # lane padding
-    taps = gather_taps(patch_flat, idx).reshape(B, 8, 256)[..., :P]
+    pw = 128 * ((P + 127) // 128)               # minimal lane-register width
+    idx = jnp.pad(idx, ((0, 0), (0, pw - P)))
+    taps = gather_taps(patch_flat, idx).reshape(B, 8, pw)[..., :P]
     z_c, m_c = taps[:, 0], taps[:, 1]
     z_f, m_f = taps[:, 2], taps[:, 3]
     z_l, m_l = taps[:, 4], taps[:, 5]

@@ -9,7 +9,6 @@ with ``terrain = geom - diff`` (lss.py:158).
 from __future__ import annotations
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from monoforce_tpu.models.terrain_encoder.layers import (
     ScaledTanh, Up, upsample_align_corners,

@@ -17,7 +17,6 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from monoforce_tpu.models.terrain_encoder.layers import swish
 

@@ -11,12 +11,11 @@ nonexistent distributed backend (SURVEY.md §2.5).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from monoforce_tpu.physics.engine import RigidState, RobotModel

@@ -46,6 +46,17 @@ class MonoForce:
         self.params = self.model.init(jax.random.PRNGKey(seed), *example_inputs)
         return self.params
 
+    def load_torch_checkpoint(self, path: str):
+        """Load a reference PyTorch LSS checkpoint (.pth state_dict) — the
+        weights the reference distributes (docs/INSTALL.md) — via
+        models.terrain_encoder.torch_port."""
+        import torch
+        from monoforce_tpu.models.terrain_encoder.torch_port import (
+            state_dict_to_variables)
+        sd = torch.load(path, map_location="cpu")
+        self.params = state_dict_to_variables(sd)
+        return self.params
+
     @functools.partial(jax.jit, static_argnames=("self",))
     def _predict(self, params, imgs, rots, trans, intrins, post_rots,
                  post_trans, controls, state0):

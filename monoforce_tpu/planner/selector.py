@@ -18,7 +18,7 @@ machine (waypoint index progression is inherently sequential control flow).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

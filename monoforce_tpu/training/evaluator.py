@@ -9,7 +9,6 @@ to ``losses.csv`` (eval.py:120,156-157).
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,6 @@ XLA inserts the gradient psum (see monoforce_tpu.parallel).
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import time
@@ -210,7 +209,16 @@ class Trainer:
 
     def load_pretrained(self, path: str, params, batch_stats):
         """Partial restore: overlay stored entries onto fresh init (the
-        reference's dict-update from_pretrained, lss.py:293-302)."""
+        reference's dict-update from_pretrained, lss.py:293-302).  Accepts
+        orbax checkpoints or reference torch .pth state_dicts."""
+        if path.endswith((".pth", ".pt")):
+            import torch
+            from monoforce_tpu.models.terrain_encoder.torch_port import (
+                state_dict_to_variables)
+            stored = state_dict_to_variables(
+                torch.load(path, map_location="cpu"))
+            return (_overlay(params, stored.get("params", {})),
+                    _overlay(batch_stats, stored.get("batch_stats", {})))
         import orbax.checkpoint as ocp
         ckptr = ocp.StandardCheckpointer()
         stored = ckptr.restore(os.path.abspath(path))

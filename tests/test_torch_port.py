@@ -221,3 +221,34 @@ def test_state_dict_roundtrip_reproduces_flax_tree(tiny_model_and_vars):
     # the ported tree must run through the model
     out = model.apply(ported, *args)
     assert np.isfinite(np.asarray(out["terrain"])).all()
+
+
+def test_pth_checkpoint_through_pipeline(tiny_model_and_vars, tmp_path):
+    """torch.save'd reference-style checkpoint -> MonoForce pipeline."""
+    import torch
+    from monoforce_tpu.config import LSSConfig, PhysicsConfig
+    from monoforce_tpu.pipeline import MonoForce
+
+    model, variables, args = tiny_model_and_vars
+    sd = {k: torch.from_numpy(np.asarray(v))
+          for k, v in _flax_to_torch_sd(variables).items()}
+    p = tmp_path / "lss.pth"
+    torch.save(sd, str(p))
+
+    dcfg = PhysicsConfig(robot="tradr", traj_sim_time=0.5)
+    dcfg.d_max = 1.6
+    dcfg.n_sim_trajs = 4
+    lss = LSSConfig(
+        data_aug_conf={"H": 64, "W": 128, "final_dim": (32, 64),
+                       "resize_lim": (0.5, 0.55), "bot_pct_lim": (0.0, 0.0),
+                       "rot_lim": (0.0, 0.0), "rand_flip": False},
+        grid_conf={"xbound": (-1.6, 1.6, 0.1), "ybound": (-1.6, 1.6, 0.1),
+                   "zbound": (-3.2, 3.2, 6.4), "dbound": (0.6, 2.2, 0.4)})
+    mf = MonoForce(dphys_cfg=dcfg, lss_cfg=lss)
+    mf.load_torch_checkpoint(str(p))
+    terrain, plan = mf.run(*args, key=jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(plan.costs)).all()
+    # outputs equal the original flax variables' outputs (same weights)
+    direct = model.apply(variables, *args)
+    np.testing.assert_allclose(np.asarray(terrain["terrain"]),
+                               np.asarray(direct["terrain"]), atol=1e-6)

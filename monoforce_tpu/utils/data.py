@@ -14,7 +14,8 @@ from typing import Sequence
 
 import numpy as np
 
-__all__ = ["compile_data", "NumpyLoader", "ConcatDataset", "Subset"]
+__all__ = ["compile_data", "NumpyLoader", "PrefetchLoader", "ConcatDataset",
+           "Subset"]
 
 
 class Subset:
@@ -102,3 +103,39 @@ def _collate(samples):
     if isinstance(first, dict):
         return {k: _collate([s[k] for s in samples]) for k in first}
     return np.stack([np.asarray(s, dtype=np.float32) for s in samples])
+
+
+class PrefetchLoader:
+    """Wrap a loader with a background-thread prefetch queue so host-side
+    sample decoding (PIL, rasterization) overlaps device compute — the
+    torch-DataLoader-workers role in the reference trainer, without torch."""
+
+    def __init__(self, loader, prefetch: int = 2):
+        self.loader = loader
+        self.prefetch = prefetch
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def worker():
+            try:
+                for batch in self.loader:
+                    q.put(batch)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()

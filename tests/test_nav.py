@@ -142,3 +142,20 @@ def test_locked_csv(tmp_path):
     append_to_csv(p, [[5, 6]])
     lines = open(p).read().strip().split("\n")
     assert lines == ["a,b", "1,2", "3,4", "5,6"]
+
+
+def test_prefetch_loader_matches_plain():
+    from monoforce_tpu.utils import NumpyLoader, PrefetchLoader
+
+    class DS:
+        def __len__(self):
+            return 7
+
+        def __getitem__(self, i):
+            return (np.full((2, 2), i, np.float32),)
+
+    plain = list(NumpyLoader(DS(), batch_size=2))
+    pre = list(PrefetchLoader(NumpyLoader(DS(), batch_size=2)))
+    assert len(plain) == len(pre) == 4
+    for a, b in zip(plain, pre):
+        np.testing.assert_allclose(a[0], b[0])

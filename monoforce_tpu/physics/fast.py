@@ -100,7 +100,7 @@ def _window_interp(patch_flat, sx, sy, qx, qy, d_max, grid_res):
     (B, P).  Tap gathering runs in a Pallas lane-gather kernel on TPU (exact
     value selection) with an XLA gather fallback elsewhere.
     """
-    from monoforce_tpu.ops.interp_pallas import gather_taps
+    from monoforce_tpu.ops.interp_pallas import window_interp
 
     B, P = qx.shape
     fx = (qx + d_max) / grid_res
@@ -114,25 +114,12 @@ def _window_interp(patch_flat, sx, sy, qx, qy, d_max, grid_res):
 
     idx = xl * _PATCH + yl                      # (B, P) in [0, 238]
     pw = 128 * ((P + 127) // 128)               # minimal lane-register width
-    idx = jnp.pad(idx, ((0, 0), (0, pw - P)))
-    taps = gather_taps(patch_flat, idx).reshape(B, 8, pw)[..., :P]
-    z_c, m_c = taps[:, 0], taps[:, 1]
-    z_f, m_f = taps[:, 2], taps[:, 3]
-    z_l, m_l = taps[:, 4], taps[:, 5]
-    z_fl, m_fl = taps[:, 6], taps[:, 7]
-
-    # reference weight/tap pairing quirk (dphysics.py:442-445)
-    w_cc = (1 - xf) * (1 - yf)
-    w_cf = (1 - xf) * yf
-    w_lc = xf * (1 - yf)
-    w_fl = xf * yf
-    z = w_cc * z_c + w_cf * z_f + w_lc * z_l + w_fl * z_fl
-    mu = w_cc * m_c + w_cf * m_f + w_lc * m_l + w_fl * m_fl
-
-    dz_dx = (z_f - z_c) / grid_res
-    dz_dy = (z_l - z_c) / grid_res
-    inv = lax.rsqrt(dz_dx * dz_dx + dz_dy * dz_dy + 1.0)
-    return z, (-dz_dx * inv, -dz_dy * inv, inv), mu
+    pad = ((0, 0), (0, pw - P))
+    out = window_interp(patch_flat, jnp.pad(idx, pad), jnp.pad(xf, pad),
+                        jnp.pad(yf, pad),
+                        jnp.reshape(grid_res, (1,)).astype(jnp.float32))
+    out = out.reshape(B, 5, pw)[..., :P]
+    return out[:, 0], (out[:, 1], out[:, 2], out[:, 3]), out[:, 4]
 
 
 def _patch_interp(z_grid, friction, qx, qy, d_max, grid_res):

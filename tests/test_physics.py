@@ -267,3 +267,34 @@ class TestGradients:
         g = jax.grad(loss)(jnp.ones(cfg.grid_shape))
         assert float(jnp.abs(g).sum()) > 0
         assert np.isfinite(np.asarray(g)).all()
+
+
+class TestQuirksAndFuzz:
+    def test_oob_flat_clamp_quirk_matches_oracle(self, cfg):
+        """Queries outside the grid hit the reference's flat-index clamp
+        (wrap across rows, dphysics.py:432-435) — exact path must reproduce
+        it. Start the robot near the border so points go out of bounds."""
+        n = 60
+        rng = np.random.default_rng(3)
+        z = rng.normal(scale=0.1, size=cfg.grid_shape).astype(np.float32)
+        controls = np.tile(np.array([[1.0, 0.0]], np.float32), (n, 1))
+        state0 = (np.array([6.1, 0.0, 0.0], np.float32),  # 0.3 m from edge
+                  np.zeros(3, np.float32), np.eye(3, dtype=np.float32),
+                  np.zeros(3, np.float32))
+        states, _, ref = _run_both(cfg, z, controls, n, state0=state0)
+        assert _rmse(states.x[0], ref["Xs"]) < 1e-3
+
+    def test_fuzz_random_configs_vs_oracle(self):
+        """Short rollouts across random stiffness/mass-scale/terrain/controls
+        stay within the oracle parity gate."""
+        rng = np.random.default_rng(11)
+        for trial in range(3):
+            cfg = PhysicsConfig(
+                robot=["tradr", "husky"][trial % 2],
+                stiffness=float(rng.uniform(20_000, 80_000)),
+                traj_sim_time=0.5)
+            n = cfg.n_sim_steps
+            z = rng.normal(scale=0.12, size=cfg.grid_shape).astype(np.float32)
+            controls = rng.uniform(-1, 1, (n, 2)).astype(np.float32)
+            states, _, ref = _run_both(cfg, z, controls, n)
+            assert _rmse(states.x[0], ref["Xs"]) < 1e-3, (trial, cfg.robot)

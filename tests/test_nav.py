@@ -159,3 +159,32 @@ def test_prefetch_loader_matches_plain():
     assert len(plain) == len(pre) == 4
     for a, b in zip(plain, pre):
         np.testing.assert_allclose(a[0], b[0])
+
+
+def test_gridmap_roundtrip_and_start_indices():
+    from monoforce_tpu.gridmap import (
+        GridMapData, gridmap_to_heightmap, heightmap_to_gridmap,
+        heightmap_to_cloud_points,
+    )
+    rng = np.random.default_rng(5)
+    hm = rng.normal(size=(16, 16)).astype(np.float32)
+    mask = (rng.uniform(size=(16, 16)) > 0.5).astype(np.float32)
+
+    gm = heightmap_to_gridmap(hm, 0.1, mask=mask)
+    assert gm.length_x == gm.length_y == 1.6
+    back = gridmap_to_heightmap(gm)
+    np.testing.assert_allclose(back, hm)
+    np.testing.assert_allclose(gridmap_to_heightmap(gm, "mask"), mask)
+
+    # circular-buffer start indices are undone (ros.py:247-254)
+    shifted = GridMapData(resolution=gm.resolution, length_x=gm.length_x,
+                          length_y=gm.length_y,
+                          layers={"elevation": np.roll(
+                              np.roll(gm.layers["elevation"], 3, axis=1),
+                              5, axis=0)},
+                          outer_start_index=3, inner_start_index=5)
+    np.testing.assert_allclose(gridmap_to_heightmap(shifted), hm)
+
+    pts = heightmap_to_cloud_points(hm, 0.1, xyz=np.array([1.0, 2.0, 0.0]))
+    assert pts.shape == (256, 3)
+    np.testing.assert_allclose(pts[:, 2].mean(), hm.mean(), atol=1e-5)

@@ -20,4 +20,23 @@ from monoforce_tpu.config import PhysicsConfig, LSSConfig
 
 __version__ = "0.1.0"
 
-__all__ = ["PhysicsConfig", "LSSConfig", "__version__"]
+__all__ = ["PhysicsConfig", "LSSConfig", "DPhysics", "LiftSplatShoot",
+           "MonoForce", "Planner", "__version__"]
+
+
+def __getattr__(name):
+    # lazy top-level conveniences (keep `import monoforce_tpu` light — the
+    # physics/model modules pull in jax/flax)
+    if name == "DPhysics":
+        from monoforce_tpu.physics import DPhysics
+        return DPhysics
+    if name == "LiftSplatShoot":
+        from monoforce_tpu.models import LiftSplatShoot
+        return LiftSplatShoot
+    if name == "MonoForce":
+        from monoforce_tpu.pipeline import MonoForce
+        return MonoForce
+    if name == "Planner":
+        from monoforce_tpu.planner import Planner
+        return Planner
+    raise AttributeError(name)

@@ -114,3 +114,50 @@ def test_train_aug_is_stochastic(seq):
     a = ds_train.get_images_data(0)[0]
     b = ds_train.get_images_data(0)[0]
     assert not np.allclose(a, b)  # random resize/rot differ between draws
+
+
+def test_img_transform_post_homography_bookkeeping():
+    """(post_rot, post_tran) must map ORIGINAL pixel coords to AUGMENTED
+    pixel coords — the contract get_geometry relies on to undo augmentation
+    (terrain_encoder/utils.py:52-76)."""
+    from PIL import Image
+    from monoforce_tpu.datasets.augment import img_transform
+
+    H, W = 60, 80
+    img = Image.new("RGB", (W, H), (0, 0, 0))
+    # mark a small block away from the center (survives resampling)
+    src_uv = (40, 30)
+    for du in (-1, 0, 1):
+        for dv in (-1, 0, 1):
+            img.putpixel((src_uv[0] + du, src_uv[1] + dv), (255, 0, 0))
+
+    post_rot = np.eye(2, dtype=np.float32)
+    post_tran = np.zeros(2, dtype=np.float32)
+    resize = 1.5
+    resize_dims = (int(W * resize), int(H * resize))
+    crop = (10, 8, 10 + 64, 8 + 64)
+    out, pr, pt = img_transform(img, post_rot, post_tran, resize,
+                                resize_dims, crop, flip=True, rotate=7.0)
+
+    # predicted augmented location of the marked pixel
+    uv = pr @ np.asarray(src_uv, np.float32) + pt
+    arr = np.asarray(out)
+    reds = np.argwhere((arr[..., 0] > 90) & (arr[..., 1] < 80))
+    assert len(reds) > 0, "marker lost by augmentation"
+    # reds are (row=v, col=u); nearest red pixel should be within the
+    # marker's smearing radius of the prediction
+    d = np.sqrt(((reds[:, ::-1] - uv[None, :]) ** 2).sum(1)).min()
+    assert d < 4.0, (uv, d)
+
+
+def test_img_transform_no_aug_identity():
+    from PIL import Image
+    from monoforce_tpu.datasets.augment import img_transform
+
+    H, W = 32, 48
+    img = Image.new("RGB", (W, H))
+    out, pr, pt = img_transform(img, np.eye(2, dtype=np.float32),
+                                np.zeros(2, np.float32), 1.0, (W, H),
+                                (0, 0, W, H), False, 0.0)
+    np.testing.assert_allclose(pr, np.eye(2), atol=1e-6)
+    np.testing.assert_allclose(pt, 0.0, atol=1e-5)

@@ -1,0 +1,105 @@
+"""Import helpers for head-to-head tests against the REAL reference torch code.
+
+The reference modules live at /root/reference/monoforce/src (read-only) and
+import packages that are not installed here (torchdiffeq, open3d,
+torchvision, efficientnet_pytorch).  None of those are on the math paths
+under test, so minimal stubs are registered in ``sys.modules`` first.
+
+The reference's mesh loader (dphys_config.py:8-35, open3d) is replaced with
+this repo's procedural point clouds so both engines see identical inputs.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import numpy as np
+
+REF_SRC = "/root/reference/monoforce/src"
+
+
+def _stub_torchvision():
+    if "torchvision" in sys.modules:
+        return
+    tv = types.ModuleType("torchvision")
+
+    class _Transform:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, x):
+            return x
+
+    transforms = types.SimpleNamespace(
+        Normalize=_Transform, Compose=_Transform, ToTensor=_Transform,
+        ToPILImage=_Transform, Resize=_Transform)
+    tv.transforms = transforms
+    resnet_mod = types.ModuleType("torchvision.models.resnet")
+    resnet_mod.resnet18 = None  # referenced by BevEncode, never built in tests
+    models_mod = types.ModuleType("torchvision.models")
+    models_mod.resnet = resnet_mod
+    tv.models = models_mod
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = models_mod
+    sys.modules["torchvision.models.resnet"] = resnet_mod
+
+
+def _stub_misc():
+    if "torchdiffeq" not in sys.modules:
+        m = types.ModuleType("torchdiffeq")
+        m.odeint = None
+        sys.modules["torchdiffeq"] = m
+    if "open3d" not in sys.modules:
+        m = types.ModuleType("open3d")
+        m.io = types.SimpleNamespace(read_triangle_mesh=None)
+        m.geometry = types.SimpleNamespace(PointCloud=None)
+        sys.modules["open3d"] = m
+    if "efficientnet_pytorch" not in sys.modules:
+        m = types.ModuleType("efficientnet_pytorch")
+        m.EfficientNet = None  # CamEncode is never built in these tests
+        sys.modules["efficientnet_pytorch"] = m
+
+
+def load_reference():
+    """Returns (torch, ref_utils, ref_lss, ref_dphys_cfg_module)."""
+    _stub_misc()
+    _stub_torchvision()
+    if REF_SRC not in sys.path:
+        sys.path.insert(0, REF_SRC)
+    import torch
+    from monoforce_tpu import robots as tpu_robots
+    from monoforce.models.traj_predictor import dphys_config as ref_cfg_mod
+
+    def _points_from_repo(robot, voxel_size=0.1, return_mesh=False):
+        pts = tpu_robots.robot_point_cloud(robot, voxel_size=voxel_size)
+        return torch.as_tensor(np.asarray(pts), dtype=torch.float32)
+
+    ref_cfg_mod.get_points_from_robot_mesh = _points_from_repo
+
+    from monoforce.models.terrain_encoder import utils as ref_utils
+    from monoforce.models.terrain_encoder import lss as ref_lss
+    return torch, ref_utils, ref_lss, ref_cfg_mod
+
+
+def make_ref_lss_shell(ref_lss, torch, grid_conf, data_aug_conf,
+                       downsample=16, camC=64, use_quickcumsum=True):
+    """A reference ``LiftSplatShoot`` with ONLY the geometry attributes set
+    (no CamEncode/BevEncode modules), enough to call create_frustum /
+    get_geometry / voxel_pooling (reference lss.py:191-280) head-to-head."""
+    from monoforce.models.terrain_encoder.utils import gen_dx_bx
+    shell = ref_lss.LiftSplatShoot.__new__(ref_lss.LiftSplatShoot)
+    torch.nn.Module.__init__(shell)
+    shell.grid_conf = grid_conf
+    shell.data_aug_conf = data_aug_conf
+    dx, bx, nx = gen_dx_bx(grid_conf["xbound"], grid_conf["ybound"],
+                           grid_conf["zbound"])
+    shell.dx = dx
+    shell.bx = bx
+    shell.nx = nx
+    shell.downsample = downsample
+    shell.camC = camC
+    shell.frustum = shell.create_frustum()
+    shell.D = shell.frustum.shape[0]
+    shell.use_quickcumsum = use_quickcumsum
+    return shell

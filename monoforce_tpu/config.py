@@ -181,21 +181,31 @@ class PhysicsConfig:
         with open(path, "w") as f:
             yaml.safe_dump(self.to_dict(), f)
 
+    # Fields recomputed by __post_init__; they must be restored AFTER
+    # construction so saved (possibly user-modified) values win.
+    _YAML_DERIVED = ("robot_mass", "damping", "robot_size",
+                     "joint_positions", "joint_angles")
+
     @classmethod
     def from_yaml(cls, path: str) -> "PhysicsConfig":
+        """Restore EVERY serialized attribute, like the reference
+        ``DPhysConfig.from_yaml`` (dphys_config.py:173-188) which setattr's
+        each saved key — including derived fields the constructor would
+        otherwise recompute."""
         with open(path, "r") as f:
             params = yaml.safe_load(f)
-        names = {f.name for f in dataclasses.fields(cls)}
         init_names = {f.name for f in dataclasses.fields(cls) if f.init}
-        kwargs = {k: v for k, v in params.items() if k in init_names
-                  and k not in ("robot_mass", "damping", "robot_size",
-                                "joint_positions", "joint_angles")}
+        kwargs = {k: v for k, v in params.items()
+                  if k in init_names and k not in cls._YAML_DERIVED}
+        if "gravity_direction" in kwargs:
+            kwargs["gravity_direction"] = tuple(kwargs["gravity_direction"])
         cfg = cls(**kwargs)
-        # overlay any remaining non-derived scalars
-        for k, v in params.items():
-            if k in names and k not in kwargs and k not in cls._YAML_SKIP:
-                if k in ("robot_mass", "damping"):
-                    setattr(cfg, k, float(v))
+        for k in cls._YAML_DERIVED:
+            if k in params:
+                v = params[k]
+                if k == "robot_size":
+                    v = tuple(v)
+                setattr(cfg, k, v)
         return cfg
 
 

@@ -50,6 +50,28 @@ def test_yaml_roundtrip(tmp_path):
     np.testing.assert_allclose(cfg2.robot_points, cfg.robot_points)
 
 
+def test_yaml_roundtrip_restores_modified_derived_fields(tmp_path):
+    """from_yaml restores EVERY serialized attribute exactly as saved, like
+    the reference DPhysConfig.from_yaml (dphys_config.py:173-188) — even
+    derived fields the constructor would recompute."""
+    cfg = PhysicsConfig(robot="marv")
+    cfg.robot_mass = 72.5                       # user-modified derived fields
+    cfg.damping = 1234.0
+    cfg.robot_size = (0.9, 0.7)
+    cfg.joint_positions = {k: [0.1, 0.2, 0.3] for k in ("fl", "fr", "rl", "rr")}
+    cfg.joint_angles = {"fl": 0.5, "fr": -0.5, "rl": 0.25, "rr": -0.25}
+    cfg.gravity_direction = (0.0, 0.1, -0.99)
+    p = tmp_path / "cfg.yaml"
+    cfg.to_yaml(str(p))
+    cfg2 = PhysicsConfig.from_yaml(str(p))
+    assert cfg2.robot_mass == 72.5
+    assert cfg2.damping == 1234.0
+    assert tuple(cfg2.robot_size) == (0.9, 0.7)
+    assert cfg2.joint_positions == cfg.joint_positions
+    assert cfg2.joint_angles == cfg.joint_angles
+    assert tuple(cfg2.gravity_direction) == (0.0, 0.1, -0.99)
+
+
 def test_voxel_downsample_centroids():
     pts = np.array([[0.01, 0.01, 0.0], [0.09, 0.01, 0.0],   # same voxel
                     [0.51, 0.0, 0.0]], dtype=np.float32)    # another voxel

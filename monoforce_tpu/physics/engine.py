@@ -307,12 +307,21 @@ _identity_clip_grad.defvjp(_icg_fwd, _icg_bwd)
 def rollout_single(robot: RobotModel, z_grid, friction, controls, joint_angles,
                    state0: RigidState, return_forces: bool = True,
                    extras_fn: Optional[Callable] = None,
-                   bptt_grad_clip: Optional[float] = None):
+                   bptt_grad_clip: Optional[float] = None,
+                   remat_segment: Optional[int] = None):
     """Roll one trajectory for N = controls.shape[0] steps.
 
     Matches the reference `dphysics()` driver (dphysics.py:530-594): settle,
     scan, equilibrium offset.  States are recorded AFTER each update, forces
     at the pre-update state (reference dynamics(), dphysics.py:467-497).
+
+    ``remat_segment=K`` wraps every K consecutive steps in ``jax.checkpoint``:
+    BPTT then stores only the segment-boundary states and recomputes the
+    in-segment activations in the backward pass — O(N/K + K) live memory
+    instead of O(N).  This is the principled long-horizon replacement for the
+    reference's plain O(N) BPTT (dphysics.py:490-496), which simply OOMs on
+    long horizons.  Values and gradients match the unremat scan to ~1 ulp
+    (compiler fusion reassociation only).
 
     Returns (states: RigidState stacked over time, forces | None, extras | None).
     """
@@ -336,7 +345,24 @@ def rollout_single(robot: RobotModel, z_grid, friction, controls, joint_angles,
             out.append(extras_fn(new_state, forces))
         return new_state, tuple(out)
 
-    _, outs = lax.scan(step, state0, (controls, joint_angles))
+    if remat_segment is not None and remat_segment > 1:
+        K = int(remat_segment)
+        n = controls.shape[0]
+        if n % K != 0:
+            raise ValueError(
+                f"remat_segment={K} must divide the horizon N={n}")
+
+        @functools.partial(jax.checkpoint, prevent_cse=False)
+        def segment(state, seg_inp):
+            return lax.scan(step, state, seg_inp)
+
+        seg_inp = jax.tree.map(
+            lambda a: a.reshape((n // K, K) + a.shape[1:]),
+            (controls, joint_angles))
+        _, outs = lax.scan(segment, state0, seg_inp)
+        outs = jax.tree.map(lambda a: a.reshape((n,) + a.shape[2:]), outs)
+    else:
+        _, outs = lax.scan(step, state0, (controls, joint_angles))
     states = outs[0]
     idx = 1
     forces = None
@@ -351,6 +377,20 @@ def rollout_single(robot: RobotModel, z_grid, friction, controls, joint_angles,
     return states, forces, extras
 
 
+def auto_remat_segment(n: int, threshold: int = 64) -> Optional[int]:
+    """Pick a remat segment length for an N-step BPTT horizon: the divisor of
+    N closest to sqrt(N) (minimizing stored-boundaries + recompute-window
+    memory).  Returns None for short horizons where remat only adds
+    recompute."""
+    if n < threshold:
+        return None
+    target = max(1, int(round(n ** 0.5)))
+    divisors = [k for k in range(2, n) if n % k == 0]
+    if not divisors:
+        return None
+    return min(divisors, key=lambda k: abs(k - target))
+
+
 def _default_state0(controls) -> RigidState:
     """Reference default initial state (dphysics.py:554-559): at the origin,
     moving with the first commanded (v, w)."""
@@ -363,11 +403,13 @@ def _default_state0(controls) -> RigidState:
 
 
 @functools.partial(jax.jit, static_argnames=("return_forces", "extras_fn",
-                                              "bptt_grad_clip"))
+                                              "bptt_grad_clip",
+                                              "remat_segment"))
 def rollout(robot: RobotModel, z_grid, controls, joint_angles=None,
             state0: Optional[RigidState] = None, friction=None,
             return_forces: bool = True, extras_fn: Optional[Callable] = None,
-            bptt_grad_clip: Optional[float] = None):
+            bptt_grad_clip: Optional[float] = None,
+            remat_segment: Optional[int] = None):
     """Batched differentiable rollout (the reference ``DPhysics.forward``).
 
     Args:
@@ -397,7 +439,8 @@ def rollout(robot: RobotModel, z_grid, controls, joint_angles=None,
 
     fn = functools.partial(rollout_single, robot,
                            return_forces=return_forces, extras_fn=extras_fn,
-                           bptt_grad_clip=bptt_grad_clip)
+                           bptt_grad_clip=bptt_grad_clip,
+                           remat_segment=remat_segment)
     return jax.vmap(fn)(z_grid, friction, controls, joint_angles, state0)
 
 

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 import optax
 
 from monoforce_tpu.losses import physics_loss, total_variation
-from monoforce_tpu.physics.engine import RigidState, RobotModel, rollout
+from monoforce_tpu.physics.engine import (RigidState, RobotModel,
+                                          auto_remat_segment, rollout)
 
 __all__ = ["fit_terrain", "terrain_fit_step", "TerrainParams"]
 
@@ -42,26 +43,29 @@ def make_optimizer(lr_z: float = 0.02, lr_friction: float = 0.01):
 
 
 def _loss_fn(params: TerrainParams, robot: RobotModel, controls, states_gt,
-             pred_ts, gt_ts, state0, tv_weight: float):
+             pred_ts, gt_ts, state0, tv_weight: float,
+             remat_segment=None):
     B = controls.shape[0]
     zb = jnp.broadcast_to(params.z_grid, (B,) + params.z_grid.shape)
     fb = jnp.broadcast_to(params.friction, (B,) + params.friction.shape)
     states, _, _ = rollout(robot, zb, controls, state0=state0, friction=fb,
-                           return_forces=False)
+                           return_forces=False, remat_segment=remat_segment)
     loss = physics_loss([states.x], [states_gt[0]], pred_ts, gt_ts)
     if tv_weight > 0:
         loss = loss + tv_weight * total_variation(params.z_grid)
     return loss
 
 
-@functools.partial(jax.jit, static_argnames=("optimizer", "tv_weight"))
+@functools.partial(jax.jit, static_argnames=("optimizer", "tv_weight",
+                                              "remat_segment"))
 def terrain_fit_step(params: TerrainParams, opt_state, robot: RobotModel,
                      controls, states_gt, pred_ts, gt_ts,
                      state0: Optional[RigidState], optimizer,
-                     tv_weight: float = 0.0):
+                     tv_weight: float = 0.0, remat_segment=None):
     """One jitted optimization step; returns (params, opt_state, loss)."""
     loss, grads = jax.value_and_grad(_loss_fn)(
-        params, robot, controls, states_gt, pred_ts, gt_ts, state0, tv_weight)
+        params, robot, controls, states_gt, pred_ts, gt_ts, state0, tv_weight,
+        remat_segment)
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, loss
@@ -93,7 +97,8 @@ def fit_terrain(cfg, controls, states_gt, pred_ts, gt_ts, state0=None,
     for it in range(n_iters):
         params, opt_state, loss = terrain_fit_step(
             params, opt_state, robot, controls, states_gt, pred_ts, gt_ts,
-            state0, optimizer, tv_weight)
+            state0, optimizer, tv_weight,
+            remat_segment=auto_remat_segment(controls.shape[1]))
         losses.append(float(loss))
         if verbose and it % 10 == 0:
             print(f"iter {it}: loss {losses[-1]:.6f}")

@@ -36,7 +36,8 @@ from flax.training import train_state
 from monoforce_tpu.config import LSSConfig, PhysicsConfig
 from monoforce_tpu.losses import hm_loss, physics_loss
 from monoforce_tpu.models import LiftSplatShoot
-from monoforce_tpu.physics.engine import RigidState, RobotModel, rollout
+from monoforce_tpu.physics.engine import (RigidState, RobotModel,
+                                          auto_remat_segment, rollout)
 
 __all__ = ["Trainer", "TrainState", "make_train_step", "avg_pool_grid"]
 
@@ -78,9 +79,12 @@ def _physics_states(robot: RobotModel, terrain: Dict, pose0, controls, k: int):
     x0 = pose0[:, :3, 3]
     R0 = pose0[:, :3, :3]
     state0 = RigidState(x0, jnp.zeros_like(x0), R0, jnp.zeros_like(x0))
+    # jax.checkpoint over scan segments (SURVEY §5): long-horizon BPTT stores
+    # only segment-boundary states; gradients are identical to the plain scan.
     states, _, _ = rollout(robot, z, controls, state0=state0,
                            friction=friction, return_forces=False,
-                           bptt_grad_clip=1e3)
+                           bptt_grad_clip=1e3,
+                           remat_segment=auto_remat_segment(controls.shape[1]))
     return states
 
 

@@ -12,16 +12,19 @@ Target: < 10 ms per 4096x100 batch.  ``vs_baseline`` = target_ms / measured_ms
 
 Measures SUSTAINED latency: ``REPS`` consecutive shooting batches inside one
 jitted program (the continuous-planning serving pattern), one host sync at
-the end.  This removes the host/tunnel dispatch floor (~30 ms on the axon
-test harness) from the per-batch figure; the single-shot latency is the
-sustained figure plus that floor.
+the end.  The axon test harness has a ~32 ms fixed dispatch floor per host
+call which is amortized as floor/REPS into the printed number (REPS=10 runs
+in round 1 carried ~3.2 ms of it — the "23 vs 27 ms" discrepancy); at the
+default REPS=50 the figure is within ~0.7 ms of pure device time.
 
-Runs on the fast rollout path (monoforce_tpu.physics.fast): SoA component
-planes, one-hot MXU window extraction, amortized window refresh, and a
-Pallas lane-gather kernel for the bilinear taps.  History on v5e:
-naive XLA gathers 8046 ms -> fast path v1 1080 ms -> amortized windows
-362 ms -> Pallas taps 175 ms -> one-hot windows 62 ms single-shot;
-sustained 23 ms with single-register contact presets.
+Runs on the planner rollout path (monoforce_tpu.physics.fast.planner_rollout):
+the per-point physics of each step fused into one Pallas kernel that reduces
+to eight (B,) planes in VMEM, vectorized (B, 18) packed-state integration,
+one-hot MXU window extraction at Precision.HIGH.  History on v5e:
+naive XLA gathers 8046 ms -> SoA fast path 1080 ms -> amortized windows
+362 ms -> Pallas taps 175 ms -> one-hot windows 62 ms -> fused interp
+kernel + single-register contact presets 24 ms -> lane-exact padding +
+fused per-point step kernel ~18 ms device time (see docs/PERFORMANCE.md).
 """
 
 import json
@@ -36,13 +39,13 @@ from jax import lax
 
 from monoforce_tpu.config import PhysicsConfig
 from monoforce_tpu.physics.engine import RobotModel
-from monoforce_tpu.physics.fast import fast_rollout
+from monoforce_tpu.physics.fast import planner_rollout
 from monoforce_tpu.planner.shooting import force_variance_cost
 
 B_TOTAL = int(os.environ.get("BENCH_B", 4096))
 N_STEPS = int(os.environ.get("BENCH_N", 100))
 TARGET_MS = 10.0
-REPS = int(os.environ.get("BENCH_REPS", 10))
+REPS = int(os.environ.get("BENCH_REPS", 50))
 OUTER = int(os.environ.get("BENCH_OUTER", 3))
 
 
@@ -64,8 +67,8 @@ def main():
     def shoot_many(zg, ctr):
         def body(acc, i):
             # perturb controls per repeat so no work can be hoisted
-            states, stats = fast_rollout.__wrapped__(robot, zg,
-                                                     ctr + i * 1e-4)
+            states, stats = planner_rollout.__wrapped__(robot, zg,
+                                                        ctr + i * 1e-4)
             costs = force_variance_cost(stats.spring_std)
             return acc + costs.sum(), ()
         return lax.scan(body, 0.0, jnp.arange(REPS))[0]

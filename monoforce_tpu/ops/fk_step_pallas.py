@@ -1,0 +1,313 @@
+"""Pallas TPU kernel: the per-point physics of one step, reduced in VMEM.
+
+Motivation (measured on v5e, 4096x100-step shooting batches): with the
+per-point physics expressed in XLA, every step fans into ~8 kernels
+(fusions, reduce-fusions, the interp Pallas call) and ~20 (B, 128) component
+planes spill to HBM at every boundary — the boundary traffic costs 3x the
+math itself.
+
+This kernel runs the whole PER-POINT part of a step — world points, point
+velocities, terrain taps (lane gathers out of cached 16x16 windows),
+bilinear height/friction, normals, soft contact, spring + friction forces
+with the reference's clamps, torques — taking the packed rigid state (B, 18)
+and reducing everything to eight (B,) planes (accelerations + cost
+statistics) inside VMEM.  The 16x16 terrain windows (B, 512) are the one
+large input, re-read per step (~1 ms / 100 steps at B=4096).
+
+Two design points were measured and rejected:
+- splitting/stacking the carry into eighteen (B,) planes around the kernel
+  (per-step sublane<->lane relayouts, ~10 ms/100 steps);
+- integrating INSIDE the kernel (Mosaic executes the ~60 narrow-column
+  Rodrigues/Euler ops at ~250 cycles each — 12 ms/100 steps — where
+  vectorized XLA on the packed (B, 18) carry does the same for ~1 ms).
+The split that wins: per-point math in Mosaic, scalar-per-trajectory math
+in XLA, carry always packed (B, 18).
+
+Physics semantics are identical to monoforce_tpu.physics.fast._step /
+engine.forward_kinematics (reference: dphysics.py:172-272); the lane
+reduction sums run on the MXU (plane @ ones matmul beats Mosaic's log-pass
+cross-lane shuffle reduce here).
+
+Non-articulated robots only, euler integration (flipper/rk4 rollouts use
+the differentiable fast path).  Gradients: a jnp reference implementation
+(`_fk_step_xla`) backs a custom VJP and is the off-TPU fallback — the
+shooting planner only ever runs the forward pass.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from monoforce_tpu.ops.interp_pallas import TAP_OFFSETS, _gather128
+
+__all__ = ["fk_step", "pack_consts", "pack_points"]
+
+_RB = 512
+
+# cst layout (f32 vector in SMEM)
+_C_DMAX, _C_INVRES, _C_STIFF, _C_DAMP, _C_MASS, _C_G = range(6)
+_C_GD0, _C_GD1, _C_GD2, _C_OMAX, _C_NREAL = range(6, 11)
+_C_I00, _C_I01, _C_I02, _C_I11, _C_I12, _C_I22, _C_DT = range(11, 18)
+_N_CST = 18
+
+
+def pack_consts(robot) -> jax.Array:
+    """Scalar constants vector for fk_step from a RobotModel."""
+    ii = robot.inertia_inv
+    gd = robot.gravity_direction
+    return jnp.stack([
+        robot.d_max, 1.0 / robot.grid_res, robot.stiffness, robot.damping,
+        robot.mass, robot.gravity, gd[0], gd[1], gd[2], robot.omega_max,
+        jnp.float32(robot.points.shape[0]),
+        ii[0, 0], ii[0, 1], ii[0, 2], ii[1, 1], ii[1, 2], ii[2, 2],
+        robot.dt,
+    ]).astype(jnp.float32)
+
+
+def pack_points(robot) -> jax.Array:
+    """(8, PW) constant point planes: px, py, pz, mask, 4 driving masks."""
+    P = robot.points.shape[0]
+    pw = 128 * ((P + 127) // 128)
+    pad = pw - P
+
+    def padp(a):
+        return jnp.pad(jnp.asarray(a, jnp.float32), (0, pad))
+
+    rows = [padp(robot.points[:, 0]), padp(robot.points[:, 1]),
+            padp(robot.points[:, 2]), padp(jnp.ones((P,), jnp.float32))]
+    K = robot.driving_masks.shape[0]
+    for k in range(4):
+        rows.append(padp(robot.driving_masks[k]) if k < K
+                    else jnp.zeros((pw,), jnp.float32))
+    return jnp.stack(rows)
+
+
+def _mxu_reduce(planes, ones_col):
+    """Sum each (RB, PW) plane over lanes via one MXU matmul per plane."""
+    outs = []
+    for p in planes:
+        s = jax.lax.dot_general(
+            p, ones_col, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        outs.append(s[:, 0:1])
+    return outs
+
+
+def _step_math(cst, patch, state, tv, sxy, pts, n_k, gather, reduce_lanes):
+    """Per-point step math (jnp ops; runs in-kernel and as the XLA
+    reference).  Returns (B, 8): [ax, ay, az, aw0, aw1, aw2, s_std, n_cp]."""
+    d_max = cst[_C_DMAX]
+    inv_res = cst[_C_INVRES]
+    stiff = cst[_C_STIFF]
+    damp = cst[_C_DAMP]
+    m = cst[_C_MASS]
+    g = cst[_C_G]
+    n_real = cst[_C_NREAL]
+
+    px = pts[0:1, :]
+    py = pts[1:2, :]
+    pz = pts[2:3, :]
+    maskv = pts[3:4, :]
+
+    x0 = state[:, 0:1]
+    x1 = state[:, 1:2]
+    x2 = state[:, 2:3]
+    v0 = state[:, 3:4]
+    v1 = state[:, 4:5]
+    v2 = state[:, 5:6]
+    r00 = state[:, 6:7]
+    r01 = state[:, 7:8]
+    r02 = state[:, 8:9]
+    r10 = state[:, 9:10]
+    r11 = state[:, 10:11]
+    r12 = state[:, 11:12]
+    r20 = state[:, 12:13]
+    r21 = state[:, 13:14]
+    r22 = state[:, 14:15]
+    w0 = state[:, 15:16]
+    w1 = state[:, 16:17]
+    w2 = state[:, 17:18]
+
+    # rotated body points (= lever arms) and world points
+    rx = r00 * px + r01 * py + r02 * pz
+    ry = r10 * px + r11 * py + r12 * pz
+    rz = r20 * px + r21 * py + r22 * pz
+    wx = rx + x0
+    wy = ry + x1
+    wz = rz + x2
+
+    # point velocities (Koenig)
+    vx = v0 + w1 * rz - w2 * ry
+    vy = v1 + w2 * rx - w0 * rz
+    vz = v2 + w0 * ry - w1 * rx
+
+    # terrain lookup out of the cached window
+    fxq = (wx + d_max) * inv_res
+    fyq = (wy + d_max) * inv_res
+    xi = fxq.astype(jnp.int32)
+    yi = fyq.astype(jnp.int32)
+    xf = fxq - xi.astype(jnp.float32)
+    yf = fyq - yi.astype(jnp.float32)
+    sx = sxy[:, 0:1].astype(jnp.int32)
+    sy = sxy[:, 1:2].astype(jnp.int32)
+    xl = jnp.clip(xi - sx, 0, 14)
+    yl = jnp.clip(yi - sy, 0, 14)
+    idx = xl * 16 + yl
+    tz = [gather(patch, 0, idx + off) for off in TAP_OFFSETS]
+    tf = [gather(patch, 256, idx + off) for off in TAP_OFFSETS]
+    w_cc = (1 - xf) * (1 - yf)
+    w_cf = (1 - xf) * yf
+    w_lc = xf * (1 - yf)
+    w_fl = xf * yf
+    z = w_cc * tz[0] + w_cf * tz[1] + w_lc * tz[2] + w_fl * tz[3]
+    mu = w_cc * tf[0] + w_cf * tf[1] + w_lc * tf[2] + w_fl * tf[3]
+    dz_dx = (tz[1] - tz[0]) * inv_res
+    dz_dy = (tz[2] - tz[0]) * inv_res
+    ninv = lax.rsqrt(dz_dx * dz_dx + dz_dy * dz_dy + 1.0)
+    nx = -dz_dx * ninv
+    ny = -dz_dy * ninv
+    nz = ninv
+
+    # soft contact + spring-damper (dphysics.py:220-234), ghosts masked
+    dh = wz - z
+    contact = maskv / (1.0 + jnp.exp(10.0 * dh))
+    vn = vx * nx + vy * ny + vz * nz
+    scale = -(stiff * dh + damp * vn)
+    (n_cp,) = reduce_lanes([contact])
+    cs = scale * contact / n_cp
+    mg = m * g
+    fsx = jnp.clip(cs * nx, -mg, mg)
+    fsy = jnp.clip(cs * ny, -mg, mg)
+    fsz = jnp.clip(cs * nz, -mg, mg)
+    spring_mag = jnp.sqrt(fsx * fsx + fsy * fsy + fsz * fsz + 1e-30)
+
+    # velocity-based friction (dphysics.py:236-252)
+    tn = lax.rsqrt(jnp.maximum(r00 * r00 + r10 * r10 + r20 * r20, 1e-12))
+    t0 = r00 * tn
+    t1 = r10 * tn
+    t2 = r20 * tn
+    cmd = tv[:, 0:1] * pts[4:5, :]
+    for k in range(1, n_k):
+        cmd = cmd + tv[:, k:k + 1] * pts[4 + k:5 + k, :]
+    sfx = mu * (cmd * t0 - vx)
+    sfy = mu * (cmd * t1 - vy)
+    sfz = mu * (cmd * t2 - vz)
+    sn = sfx * nx + sfy * ny + sfz * nz
+    ffx = jnp.clip(spring_mag * (sfx - sn * nx), -mg, mg)
+    ffy = jnp.clip(spring_mag * (sfy - sn * ny), -mg, mg)
+    ffz = jnp.clip(spring_mag * (sfz - sn * nz), -mg, mg)
+
+    # torques + force sums + spring statistics
+    fx_ = fsx + ffx
+    fy_ = fsy + ffy
+    fz_ = fsz + ffz
+    tq0p = ry * fz_ - rz * fy_
+    tq1p = rz * fx_ - rx * fz_
+    tq2p = rx * fy_ - ry * fx_
+    (tq0, tq1, tq2, sfx_s, sfy_s, sfz_s, s_sum) = reduce_lanes(
+        [tq0p, tq1p, tq2p, fx_, fy_, fz_, spring_mag])
+    s_mean = s_sum / n_real
+    (s_var,) = reduce_lanes([(spring_mag - s_mean) ** 2 * maskv])
+    s_std = jnp.sqrt(s_var / n_real + 1e-30)
+
+    om = cst[_C_OMAX]
+    i00 = cst[_C_I00]
+    i01 = cst[_C_I01]
+    i02 = cst[_C_I02]
+    i11 = cst[_C_I11]
+    i12 = cst[_C_I12]
+    i22 = cst[_C_I22]
+    aw0 = jnp.clip(i00 * tq0 + i01 * tq1 + i02 * tq2, -om, om)
+    aw1 = jnp.clip(i01 * tq0 + i11 * tq1 + i12 * tq2, -om, om)
+    aw2 = jnp.clip(i02 * tq0 + i12 * tq1 + i22 * tq2, -om, om)
+    ax = (m * g * cst[_C_GD0] + sfx_s) / m
+    ay = (m * g * cst[_C_GD1] + sfy_s) / m
+    az = (m * g * cst[_C_GD2] + sfz_s) / m
+    return jnp.concatenate(
+        [ax, ay, az, aw0, aw1, aw2, s_std, n_cp], axis=1)   # (B, 8)
+
+
+def _fk_step_kernel(cst_ref, patch_ref, state_ref, tv_ref, sxy_ref, pts_ref,
+                    ones_ref, out_ref):
+    patch = patch_ref[:]
+    rb = patch.shape[0]
+    ones_col = ones_ref[:]
+    out_ref[:] = _step_math(
+        cst_ref, patch, state_ref[:], tv_ref[:], sxy_ref[:], pts_ref[:],
+        n_k=4,
+        gather=lambda p, b, it: _gather128(p, b, it, rb),
+        reduce_lanes=lambda planes: _mxu_reduce(planes, ones_col))
+
+
+def _fk_step_xla(cst, patch, state, tv, sxy, pts):
+    def gather(p, base, it):
+        return jnp.take_along_axis(p[:, base:base + 256],
+                                   jnp.clip(it, 0, 255), axis=1)
+
+    def reduce_lanes(planes):
+        return [jnp.sum(p, axis=1, keepdims=True) for p in planes]
+
+    return _step_math(cst, patch, state, tv, sxy, pts, n_k=4,
+                      gather=gather, reduce_lanes=reduce_lanes)
+
+
+def _fk_step_pallas(cst, patch, state, tv, sxy, pts):
+    B = patch.shape[0]
+    pw = pts.shape[1]
+    ones_col = jnp.ones((pw, 8), jnp.float32)
+    return pl.pallas_call(
+        _fk_step_kernel,
+        grid=(B // _RB,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_RB, 512), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_RB, 18), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_RB, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_RB, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, pw), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((pw, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_RB, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 8), jnp.float32),
+    )(cst, patch, state, tv, sxy, pts, ones_col)
+
+
+@jax.custom_vjp
+def fk_step(cst, patch, state, tv, sxy, pts):
+    """Per-point forward kinematics, reduced in-VMEM to (B, 8).
+
+    cst: (18,) scalar constants (pack_consts); patch: (B, 512) flattened
+    [z | friction] windows; state: (B, 18) packed rigid state; tv: (B, 8)
+    track velocities (first K lanes used); sxy: (B, 2) window corners;
+    pts: (8, PW) point planes (pack_points), PW == 128 only on the TPU path.
+    Returns (B, 8): [ax, ay, az, aw0, aw1, aw2, spring_std, n_contacts].
+    Integration + the Rodrigues update run OUTSIDE (vectorized XLA on the
+    packed (B, 18) carry — measured 4x cheaper than Mosaic's narrow-column
+    arithmetic for the same math).
+    """
+    if (jax.default_backend() == "tpu" and patch.shape[0] % _RB == 0
+            and pts.shape[1] == 128):
+        return _fk_step_pallas(cst, patch, state, tv, sxy, pts)
+    return _fk_step_xla(cst, patch, state, tv, sxy, pts)
+
+
+def _fks_fwd(cst, patch, state, tv, sxy, pts):
+    return fk_step(cst, patch, state, tv, sxy, pts), \
+        (cst, patch, state, tv, sxy, pts)
+
+
+def _fks_bwd(res, g):
+    cst, patch, state, tv, sxy, pts = res
+    _, vjp = jax.vjp(
+        lambda p, s, t: _fk_step_xla(cst, p, s, t, sxy, pts),
+        patch, state, tv)
+    dp, ds, dt_ = vjp(g)
+    return None, dp, ds, dt_, None, None
+
+
+fk_step.defvjp(_fks_fwd, _fks_bwd)

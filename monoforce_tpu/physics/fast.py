@@ -55,7 +55,9 @@ __all__ = ["fast_rollout", "planner_rollout", "fused_rollout", "StepStats"]
 
 _HI = lax.Precision.HIGHEST
 _PATCH = 16
-_REFRESH = 8  # steps between window refreshes
+_REFRESH = 8        # steps between window refreshes (exact/fast path)
+_REFRESH_PAIR = 16  # planner pair mode: documented drift trade (see
+                    # planner_rollout docstring; OOB taps clamp gracefully)
 
 
 class StepStats(NamedTuple):
@@ -104,6 +106,52 @@ def _extract_windows(z_grid, friction, qx, qy, d_max, grid_res):
         axis=-1)
     sxy = jnp.stack([sx, sy], axis=1).astype(jnp.float32)    # (B, 2)
     return sxy, patch_flat
+
+
+def _extract_windows_packed(z_grid, friction, qx, qy, d_max, grid_res):
+    """Window extraction producing packed bf16 trajectory-pair words for
+    the pair-packed planner kernel: (B/2, 512) f32 words =
+    [[z_A|z_B](256) | [mu_A|mu_B](256)] per row.
+
+    The grids are pre-cast to bf16 so the DEFAULT-precision (single bf16
+    pass) one-hot einsums still select values EXACTLY — the quantization to
+    bf16 is the pair mode's documented accuracy trade, and at one MXU pass
+    the extraction runs ~3x faster than the exact path's Precision.HIGH."""
+    H, W = z_grid.shape[-2:]
+    B = qx.shape[0]
+    xi = ((qx + d_max) / grid_res).astype(jnp.int32)
+    yi = ((qy + d_max) / grid_res).astype(jnp.int32)
+    sx = jnp.clip(jnp.min(xi, axis=1) - 2, 0, H - _PATCH)
+    sy = jnp.clip(jnp.min(yi, axis=1) - 2, 0, W - _PATCH)
+
+    rows = sx[:, None] + jnp.arange(_PATCH)
+    cols = sy[:, None] + jnp.arange(_PATCH)
+    oh_cols = jax.nn.one_hot(cols, W, dtype=jnp.bfloat16)
+
+    gg = jnp.concatenate([z_grid, friction], axis=-1).astype(jnp.bfloat16)
+    oh_rows = jax.nn.one_hot(rows, H, dtype=jnp.bfloat16)
+    # stage 1 stays bf16 end-to-end (selection of bf16 values is exact and
+    # the (B, 16, 2W) intermediate is the bandwidth cost here); the final
+    # stage accumulates to f32 so the packed words have zero low bits
+    kw = dict(preferred_element_type=jnp.float32)
+    if gg.ndim == 2:
+        rows_sel = jnp.einsum("bkh,hw->bkw", oh_rows, gg)
+    else:
+        rows_sel = jnp.einsum("bkh,bhw->bkw", oh_rows, gg)
+    pz = jnp.einsum("bkw,bcw->bkc", rows_sel[..., :W], oh_cols, **kw)
+    pf = jnp.einsum("bkw,bcw->bkc", rows_sel[..., W:], oh_cols, **kw)
+    # pz/pf hold exactly-bf16 values as f32, so their low 16 bits are zero:
+    # pack per-cell TRAJECTORY-PAIR words with pure u32 bit ops (no
+    # 16-bit-tile relayouts): word = [value_traj2i | value_traj2i+1], so the
+    # kernel's taps cost one 256-wide gather per quantity
+    def pair_words(v):
+        u = lax.bitcast_convert_type(v.reshape(-1, 2, 256), jnp.uint32)
+        return lax.bitcast_convert_type(
+            (u[:, 0] & jnp.uint32(0xFFFF0000)) | (u[:, 1] >> 16), jnp.float32)
+
+    patch2 = jnp.concatenate([pair_words(pz), pair_words(pf)], axis=1)
+    sxy = jnp.stack([sx, sy], axis=1).astype(jnp.float32)
+    return sxy, patch2
 
 
 def _rodrigues_components(r, w0, w1, w2, dt, eps=1e-6):
@@ -496,11 +544,21 @@ def planner_rollout(robot: RobotModel, z_grid, controls,
     sublane<->lane relayouts at the kernel interface; and in-kernel
     integration costs ~12 ms/100 steps in Mosaic narrow-column arithmetic.
 
+    For contact presets with P <= 64 points (e.g. ``mesh_voxel_size=0.15``)
+    the kernel switches to **pair mode**: two trajectories share each
+    128-lane register row — halving the per-point element count, which is
+    the measured VPU roofline — with bf16-packed [z|mu] trajectory-pair tap
+    words, nearest-cell friction, and REFRESH=16 window refreshes.  The
+    accuracy trades are measured and gated (sub-mm trajectory RMSE on
+    planner-regime terrain, within-preset cost-ranking Spearman > 0.99;
+    see docs/PERFORMANCE.md "pair mode").
+
     Restrictions (falls back to :func:`fast_rollout` otherwise): no flipper
     articulation, euler integration, <= 128 contact points.  Forward-parity
     with fast_rollout is exact in structure but not bit-identical (MXU
     reduction order and the matrix-form Rodrigues differ in f32 rounding);
-    trajectory RMSE is the gate (tests/test_fast.py::test_planner_rollout*).
+    trajectory RMSE is the gate (tests/test_fast.py::test_planner_rollout*,
+    test_planner_pair_mode*).
     """
     P = robot.points.shape[0]
     if robot.integration_mode != "euler" or P > 128:
@@ -509,7 +567,7 @@ def planner_rollout(robot: RobotModel, z_grid, controls,
                                         track_vels=track_vels,
                                         with_stats=with_stats)
     from monoforce_tpu.ops.fk_step_pallas import (
-        fk_step, pack_consts, pack_points,
+        fk_step, fk_step_pair, pack_consts, pack_points, pack_points_pair,
     )
 
     controls = jnp.asarray(controls, jnp.float32)
@@ -527,7 +585,13 @@ def planner_rollout(robot: RobotModel, z_grid, controls,
 
     c = _make_consts(robot)
     cst = pack_consts(robot)
-    pts = pack_points(robot)
+    # pair mode: P <= 64 contact presets pack two trajectories per register
+    # row and read bf16 [z|mu] packed tap words — halves the per-point VPU
+    # element count, which is the measured roofline (docs/PERFORMANCE.md).
+    pair = (P <= 64 and controls.shape[0] % 2 == 0
+            and (jax.default_backend() != "tpu"
+                 or controls.shape[0] % 1024 == 0))
+    pts = pack_points_pair(robot) if pair else pack_points(robot)
     st = _unpack_state(state0)
 
     # settle (same as fast_rollout)
@@ -560,11 +624,11 @@ def planner_rollout(robot: RobotModel, z_grid, controls,
         c1 = 1.0 - jnp.cos(theta * dt)
         kk = (k[:, :, None] * k[:, None, :]).reshape(-1, 9)
         zc = jnp.zeros_like(theta)
-        K = jnp.concatenate(
+        K_ = jnp.concatenate(
             [zc, -k[:, 2:3], k[:, 1:2],
              k[:, 2:3], zc, -k[:, 0:1],
              -k[:, 1:2], k[:, 0:1], zc], axis=1)
-        M = eye9 + s * K + c1 * (kk - eye9)                   # (B, 9)
+        M = eye9 + s * K_ + c1 * (kk - eye9)                  # (B, 9)
         R = state18[:, 6:15]
         Rn = (R[:, _ri] * M[:, _mi]).reshape(-1, 9, 3).sum(-1)
         return jnp.concatenate([xn, vn, Rn, wn], axis=1)
@@ -577,11 +641,21 @@ def planner_rollout(robot: RobotModel, z_grid, controls,
               + state18[:, 8:9] * c.pz + x0)
         wy = (state18[:, 9:10] * c.px + state18[:, 10:11] * c.py
               + state18[:, 11:12] * c.pz + x1)
-        sxy, patch = _extract_windows(z_grid, friction, wx, wy,
-                                      robot.d_max, robot.grid_res)
+        if pair:
+            sxy, patch2 = _extract_windows_packed(
+                z_grid, friction, wx, wy, robot.d_max, robot.grid_res)
+            sxy2 = sxy.reshape(-1, 4)        # per-refresh relayouts only
+        else:
+            sxy, patch = _extract_windows(z_grid, friction, wx, wy,
+                                          robot.d_max, robot.grid_res)
         states_k, stats_k = [], []
         for k in range(tvs.shape[0]):
-            acc8 = fk_step(cst, patch, state18, tvs[k], sxy, pts)
+            if pair:
+                acc8 = fk_step_pair(cst, patch2, state18.reshape(-1, 36),
+                                    tvs[k].reshape(-1, 16), sxy2,
+                                    pts).reshape(-1, 8)
+            else:
+                acc8 = fk_step(cst, patch, state18, tvs[k], sxy, pts)
             state18 = integrate(state18, acc8)
             states_k.append(state18)
             stats_k.append(acc8)   # sliced AFTER stacking (relayout once)
@@ -592,19 +666,20 @@ def planner_rollout(robot: RobotModel, z_grid, controls,
     tv_t = jnp.concatenate(
         [tv_t, jnp.zeros(tv_t.shape[:2] + (8 - K,), jnp.float32)], axis=-1)
     n_total = tv_t.shape[0]
-    n_blocks, rem = divmod(n_total, _REFRESH)
+    refresh = _REFRESH_PAIR if pair else _REFRESH
+    n_blocks, rem = divmod(n_total, refresh)
 
     parts = []
     if n_blocks > 0:
-        blocks_tv = tv_t[:n_blocks * _REFRESH].reshape(
-            (n_blocks, _REFRESH) + tv_t.shape[1:])
+        blocks_tv = tv_t[:n_blocks * refresh].reshape(
+            (n_blocks, refresh) + tv_t.shape[1:])
         state18, outs_main = lax.scan(
             lambda s, b: run_block(s, b), state18, blocks_tv)
         outs_main = jax.tree.map(
             lambda a: a.reshape((-1,) + a.shape[2:]), outs_main)
         parts.append(outs_main)
     if rem > 0:
-        state18, outs_rem = run_block(state18, tv_t[n_blocks * _REFRESH:])
+        state18, outs_rem = run_block(state18, tv_t[n_blocks * refresh:])
         parts.append(outs_rem)
     seq, acc_seq = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts) \
         if len(parts) > 1 else parts[0]

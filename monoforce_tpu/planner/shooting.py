@@ -92,8 +92,10 @@ class PlanResult(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=("cost",))
 def _plan(robot: RobotModel, z_grid, friction, controls, state0, cost: str):
-    from monoforce_tpu.physics.fast import fast_rollout
-    states, stats = fast_rollout.__wrapped__(
+    # forward-only shooting: the serving-grade planner rollout (fused
+    # per-point step kernel; trajectory-pair packing for P <= 64 presets)
+    from monoforce_tpu.physics.fast import planner_rollout
+    states, stats = planner_rollout.__wrapped__(
         robot, z_grid, controls, state0=state0, friction=friction)
     if cost == "force_variance":
         costs = force_variance_cost(stats.spring_std)

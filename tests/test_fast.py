@@ -180,3 +180,65 @@ def test_fast_marv_flipper_articulation():
     rmse_R = float(np.sqrt(np.mean(
         (np.asarray(s_fast.R) - np.asarray(s_exact.R)) ** 2)))
     assert rmse_R < 5e-3, rmse_R
+
+
+def _spearman(a, b):
+    ra = np.argsort(np.argsort(a)).astype(np.float64)
+    rb = np.argsort(np.argsort(b)).astype(np.float64)
+    ra -= ra.mean(); rb -= rb.mean()
+    return float((ra * rb).sum() / np.sqrt((ra ** 2).sum() * (rb ** 2).sum()))
+
+
+def test_planner_pair_mode_gates():
+    """Serving-grade pair mode (P<=64 preset, trajectory-pair register
+    packing, bf16 taps, nearest-cell friction, REFRESH=16): gated on
+    trajectory RMSE and within-preset cost-ranking agreement vs the exact
+    fast path.  (Across contact presets the force-variance ranking is
+    resolution-sensitive for ANY preset incl. the reference's 0.1 m voxel —
+    measured in docs/PERFORMANCE.md.)"""
+    from monoforce_tpu.physics.fast import planner_rollout
+    from monoforce_tpu.physics.controls import shooting_controls
+    from monoforce_tpu.planner.shooting import (
+        force_variance_cost, inclination_cost,
+    )
+    cfg = PhysicsConfig(robot="tradr", mesh_voxel_size=0.15)
+    rb = RobotModel.from_config(cfg)
+    assert rb.points.shape[0] <= 64  # pair-packable preset
+
+    # planner-regime terrain: smooth hill + gentle ripples
+    gx, gy = cfg.grid_coords()
+    z = jnp.asarray((0.35 * np.exp(-((gx - 2.0) ** 2 / 3.0 + gy ** 2 / 6.0))
+                     + 0.08 * np.sin(2.2 * gx) * np.cos(1.7 * gy))
+                    .astype(np.float32))
+    ctr, _ = shooting_controls(jax.random.PRNGKey(7), 64, 1.0, 1.0, 1.0, 0.01)
+
+    s_exact, st_exact = fast_rollout(rb, z, ctr)
+    s_pair, st_pair = planner_rollout(rb, z, ctr)
+    rmse_x = float(np.sqrt(np.mean(
+        (np.asarray(s_pair.x) - np.asarray(s_exact.x)) ** 2)))
+    assert rmse_x < 2e-3, rmse_x  # sub-mm typical; bf16-tap trade bound
+
+    fv_e = np.asarray(force_variance_cost(st_exact.spring_std))
+    fv_p = np.asarray(force_variance_cost(st_pair.spring_std))
+    ic_e = np.asarray(inclination_cost(st_exact.abs_roll, st_exact.abs_pitch))
+    ic_p = np.asarray(inclination_cost(st_pair.abs_roll, st_pair.abs_pitch))
+    assert _spearman(fv_e, fv_p) > 0.95
+    assert _spearman(ic_e, ic_p) > 0.95
+
+
+def test_planner_pair_mode_rough_terrain_rmse():
+    """Pair mode stays within the documented trade on rough terrain and
+    per-batch grids with a spatially-varying friction map."""
+    from monoforce_tpu.physics.fast import planner_rollout
+    cfg = PhysicsConfig(robot="tradr", mesh_voxel_size=0.15)
+    rb = RobotModel.from_config(cfg)
+    rng = np.random.default_rng(42)
+    B, N = 4, 100
+    z = jnp.asarray(rng.normal(scale=0.1, size=(B, 128, 128)).astype(np.float32))
+    fr = jnp.asarray(rng.uniform(0.4, 1.0, (B, 128, 128)).astype(np.float32))
+    ctr = jnp.asarray(rng.uniform(-1, 1, (B, N, 2)).astype(np.float32))
+    s_exact, _ = fast_rollout(rb, z, ctr, friction=fr)
+    s_pair, _ = planner_rollout(rb, z, ctr, friction=fr)
+    rmse_x = float(np.sqrt(np.mean(
+        (np.asarray(s_pair.x) - np.asarray(s_exact.x)) ** 2)))
+    assert rmse_x < 2e-2, rmse_x

@@ -1,22 +1,21 @@
 """Pallas TPU kernel: bilinear terrain interpolation out of cached windows.
 
 The fast rollout keeps a flattened 16x16 [z | friction] window per trajectory
-(see physics/fast.py).  Each step needs, per contact point, the interpolated
-height, surface normal and friction.  Two implementations:
+(see physics/fast.py).  ``fk_interp`` is the fused lookup used by the
+differentiable fast path (and the settle step of the planner path): it takes
+world-frame query coordinates, computes cell indices and bilinear fractions
+in-kernel, gathers the four taps for height and friction via Mosaic lane
+gathers (``take_along_axis`` on 128-wide registers — the only fast
+data-dependent lookup primitive; XLA's elementwise gather lowering is ~300x
+slower for this pattern), and emits the five result planes
+(z, n_x, n_y, n_z, mu).
 
-- ``gather_taps``: the raw eight bilinear taps (4 positions x {z, friction})
-  via Mosaic lane gathers (``take_along_axis`` on 128-wide registers — the
-  only fast data-dependent lookup primitive; XLA's elementwise gather
-  lowering is ~300x slower for this pattern).
-- ``window_interp``: the FUSED op used by the hot loop — taps plus the
-  reference's quirky bilinear weights (dphysics.py:442-445) and
-  forward-difference normals computed in-kernel, so only the five result
-  planes (z, n_x, n_y, n_z, mu) reach HBM instead of eight tap planes
-  (a 32 MB -> 2.5 MB per-step traffic reduction at B=4096; the tap kernel
-  was HBM-bound, not gather-bound).
+The serving-grade planner goes further and fuses the whole per-point physics
+step around these taps — see ops/fk_step_pallas.py.
 
 Sources wider than one 128-lane register are handled by gathering each
-128-segment and selecting by ``idx // 128``.
+128-segment and selecting by ``idx // 128`` (``_gather128``, shared with the
+step kernels).
 
 Backward pass: implemented by ``jax.vjp`` over the XLA reference
 implementation (identical math); gradients flow through terrain windows for
@@ -31,7 +30,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["gather_taps", "window_interp", "fk_interp", "TAP_OFFSETS"]
+__all__ = ["fk_interp", "TAP_OFFSETS"]
 
 TAP_OFFSETS = (0, 16, 1, 17)  # c, x+1 (front), y+1 (left), x+1&y+1
 _RB = 512  # trajectories per program
@@ -49,123 +48,6 @@ def _gather128(patch, base, it, rb):
     return acc
 
 
-def _tap_kernel(patch_ref, idx_ref, out_ref):
-    patch = patch_ref[:]          # (RB, 512) [z(256) | friction(256)]
-    idx = idx_ref[:]              # (RB, PW) int32, values in [0, 238]
-    rb, pw = idx.shape
-    for half in range(pw // 128):
-        ih = idx[:, half * 128:(half + 1) * 128]
-        for tap, off in enumerate(TAP_OFFSETS):
-            it = ih + off
-            for gi in range(2):
-                v = _gather128(patch, gi * 256, it, rb)
-                slot = tap * 2 + gi
-                out_ref[:, slot * pw + half * 128:
-                        slot * pw + (half + 1) * 128] = v
-
-
-def _interp_kernel(patch_ref, idx_ref, xf_ref, yf_ref, res_ref, out_ref):
-    """Fused taps + quirky bilinear weights + normals.
-
-    out layout: (RB, 5*PW): [z | n_x | n_y | n_z | mu].
-    """
-    patch = patch_ref[:]
-    idx = idx_ref[:]
-    xf = xf_ref[:]
-    yf = yf_ref[:]
-    inv_res = 1.0 / res_ref[0]
-    rb, pw = idx.shape
-    for half in range(pw // 128):
-        sl = slice(half * 128, (half + 1) * 128)
-        ih = idx[:, sl]
-        xfh = xf[:, sl]
-        yfh = yf[:, sl]
-        taps_z = [_gather128(patch, 0, ih + off, rb) for off in TAP_OFFSETS]
-        taps_f = [_gather128(patch, 256, ih + off, rb) for off in TAP_OFFSETS]
-        w_cc = (1 - xfh) * (1 - yfh)
-        w_cf = (1 - xfh) * yfh
-        w_lc = xfh * (1 - yfh)
-        w_fl = xfh * yfh
-        # reference weight/tap pairing quirk (dphysics.py:442-445)
-        z = (w_cc * taps_z[0] + w_cf * taps_z[1]
-             + w_lc * taps_z[2] + w_fl * taps_z[3])
-        mu = (w_cc * taps_f[0] + w_cf * taps_f[1]
-              + w_lc * taps_f[2] + w_fl * taps_f[3])
-        dz_dx = (taps_z[1] - taps_z[0]) * inv_res
-        dz_dy = (taps_z[2] - taps_z[0]) * inv_res
-        inv = lax.rsqrt(dz_dx * dz_dx + dz_dy * dz_dy + 1.0)
-        for j, plane in enumerate((z, -dz_dx * inv, -dz_dy * inv, inv, mu)):
-            out_ref[:, j * pw + half * 128: j * pw + (half + 1) * 128] = plane
-
-
-def _interp_xla(patch, idx, xf, yf, res):
-    """Reference implementation of window_interp (same output layout)."""
-    taps = []
-    for gi in range(2):
-        src = patch[:, gi * 256:(gi + 1) * 256]
-        taps.append([jnp.take_along_axis(src, idx + off, axis=1)
-                     for off in TAP_OFFSETS])
-    w_cc = (1 - xf) * (1 - yf)
-    w_cf = (1 - xf) * yf
-    w_lc = xf * (1 - yf)
-    w_fl = xf * yf
-    tz, tf = taps
-    z = w_cc * tz[0] + w_cf * tz[1] + w_lc * tz[2] + w_fl * tz[3]
-    mu = w_cc * tf[0] + w_cf * tf[1] + w_lc * tf[2] + w_fl * tf[3]
-    dz_dx = (tz[1] - tz[0]) / res[0]
-    dz_dy = (tz[2] - tz[0]) / res[0]
-    inv = lax.rsqrt(dz_dx * dz_dx + dz_dy * dz_dy + 1.0)
-    return jnp.concatenate([z, -dz_dx * inv, -dz_dy * inv, inv, mu], axis=1)
-
-
-def _interp_pallas(patch, idx, xf, yf, res):
-    B, pw = idx.shape
-    return pl.pallas_call(
-        _interp_kernel,
-        grid=(B // _RB,),
-        in_specs=[
-            pl.BlockSpec((_RB, 512), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_RB, pw), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_RB, pw), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_RB, pw), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((_RB, 5 * pw), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 5 * pw), jnp.float32),
-    )(patch, idx, xf, yf, res)
-
-
-@jax.custom_vjp
-def window_interp(patch, idx, xf, yf, res):
-    """Fused bilinear interpolation out of flattened windows.
-
-    patch: (B, 512) [z(256) | friction(256)] row-major 16x16 windows;
-    idx: (B, PW) int32 flat indices (xl*16+yl), PW a multiple of 128;
-    xf, yf: (B, PW) bilinear fractions; res: (1,) grid resolution.
-    Returns (B, 5*PW): [z | n_x | n_y | n_z | mu] planes.
-    """
-    if jax.default_backend() == "tpu" and patch.shape[0] % _RB == 0:
-        return _interp_pallas(patch, idx, xf, yf, res)
-    return _interp_xla(patch, idx, xf, yf, res)
-
-
-def _wi_fwd(patch, idx, xf, yf, res):
-    return window_interp(patch, idx, xf, yf, res), (patch, idx, xf, yf, res)
-
-
-def _wi_bwd(residuals, g):
-    patch, idx, xf, yf, res = residuals
-    _, vjp = jax.vjp(lambda p, xf_, yf_, r: _interp_xla(p, idx, xf_, yf_, r),
-                     patch, xf, yf, res)
-    dp, dxf, dyf, dres = vjp(g)
-    return dp, None, dxf, dyf, dres
-
-
-window_interp.defvjp(_wi_fwd, _wi_bwd)
-
-
-# ------------------------------------------------------- fused-index interp
 def _fk_math(patch, wx, wy, sx, sy, d_max, inv_res, gather):
     """Shared math for fk_interp: index computation + taps + quirky bilinear
     weights + forward-difference normals (reference dphysics.py:385-455 via
@@ -267,58 +149,3 @@ def _fk_bwd(res, g):
 
 
 fk_interp.defvjp(_fk_fwd, _fk_bwd)
-
-
-# ---------------------------------------------------------------- raw taps
-def _taps_pallas(patch, idx):
-    B, pw = idx.shape
-    return pl.pallas_call(
-        _tap_kernel,
-        grid=(B // _RB,),
-        in_specs=[
-            pl.BlockSpec((_RB, 512), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_RB, pw), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((_RB, 8 * pw), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 8 * pw), jnp.float32),
-    )(patch, idx)
-
-
-def _taps_xla(patch, idx):
-    outs = []
-    for off in TAP_OFFSETS:
-        for gi in range(2):
-            outs.append(jnp.take_along_axis(
-                patch[:, gi * 256:(gi + 1) * 256], idx + off, axis=1))
-    return jnp.concatenate(outs, axis=1)
-
-
-@jax.custom_vjp
-def gather_taps(patch, idx):
-    """Raw eight tap planes (kept for tests/tools; the hot loop uses
-    window_interp).  patch: (B, 512); idx: (B, PW).
-    Returns (B, 8*PW), slot = tap * 2 + grid."""
-    if jax.default_backend() == "tpu" and patch.shape[0] % _RB == 0:
-        return _taps_pallas(patch, idx)
-    return _taps_xla(patch, idx)
-
-
-def _gt_fwd(patch, idx):
-    return gather_taps(patch, idx), (patch.shape, idx)
-
-
-def _gt_bwd(res, g):
-    (B, _), idx = res
-    pw = idx.shape[1]
-    dpatch = jnp.zeros((B, 512), g.dtype)
-    rows = jnp.arange(B)[:, None]
-    for tap, off in enumerate(TAP_OFFSETS):
-        for gi in range(2):
-            slot = tap * 2 + gi
-            dpatch = dpatch.at[rows, gi * 256 + idx + off].add(
-                g[:, slot * pw:(slot + 1) * pw])
-    return dpatch, None
-
-
-gather_taps.defvjp(_gt_fwd, _gt_bwd)

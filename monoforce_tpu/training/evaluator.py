@@ -59,18 +59,28 @@ class Evaluator:
         R_pred = states.R[batch_ix, ids]
         loss_xyz = translation_difference(X_pred, Xs)
         loss_rot = rotation_difference(R_pred, Rs)
-        return {"hm_geom": loss_geom, "hm_terrain": loss_terrain,
-                "traj_xyz": loss_xyz, "traj_rot": loss_rot}
+        metrics = {"hm_geom": loss_geom, "hm_terrain": loss_terrain,
+                   "traj_xyz": loss_xyz, "traj_rot": loss_rot}
+        return metrics, terrain, X_pred
 
-    def run(self, variables, loader, csv_name: str = "losses.csv"):
+    def run(self, variables, loader, csv_name: str = "losses.csv",
+            save_figures: bool = False, d_max: float = 6.4):
+        """Evaluate the loader; with ``save_figures`` also writes the per-batch
+        3x4 diagnostic panel (reference eval.py:159-265) to out_dir."""
+        from monoforce_tpu import vis
         path = os.path.join(self.out_dir, csv_name)
         rows = []
         for i, batch in enumerate(loader):
             batch = tuple(jnp.asarray(b) for b in batch)
-            m = {k: float(v) for k, v in self._step(variables, batch).items()}
+            metrics, terrain, X_pred = self._step(variables, batch)
+            m = {k: float(v) for k, v in metrics.items()}
             rows.append(m)
             with open(path, "a") as f:
                 if i == 0 and f.tell() == 0:
                     f.write("batch," + ",".join(m.keys()) + "\n")
                 f.write(f"{i}," + ",".join(f"{v:.6f}" for v in m.values()) + "\n")
+            if save_figures:
+                vis.save_eval_figure(
+                    batch, terrain, X_pred, d_max=d_max,
+                    path=os.path.join(self.out_dir, f"batch_{i:04d}.png"))
         return {k: float(np.mean([r[k] for r in rows])) for k in rows[0]} if rows else {}

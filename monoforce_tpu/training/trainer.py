@@ -243,6 +243,7 @@ class Trainer:
         sums, count, step = {}, 0, step0
         for batch in loader:
             batch = tuple(jnp.asarray(b) for b in batch)
+            self._last_batch = batch
             if train:
                 rng, sub = jax.random.split(rng)
                 self.state, aux = self.train_step(self.state, batch, sub)
@@ -262,7 +263,32 @@ class Trainer:
                              step)
         return ({k: v / max(count, 1) for k, v in sums.items()}, step)
 
-    def train(self, train_loader, val_loader, n_epochs: int = 1, seed: int = 0):
+    def log_prediction_figure(self, batch, tag: str):
+        """Save the per-epoch prediction figure (reference logs one to
+        TensorBoard each epoch, train.py:207-226): predicted/label heightmaps,
+        friction, and the predicted-vs-GT trajectory on the current params."""
+        from monoforce_tpu.losses import physics_loss  # noqa: F401 (parity ref)
+        from monoforce_tpu import vis
+        (imgs, rots, trans, intrins, post_rots, post_trans,
+         hm_geom, hm_terrain, control_ts, controls, pose0,
+         traj_ts, Xs, *_rest) = batch
+        variables = {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats}
+        terrain = self.model.apply(variables, imgs, rots, trans, intrins,
+                                   post_rots, post_trans)
+        pool_k = int(round(self.dphys_cfg.grid_res
+                           / self.lss_cfg.grid_conf["xbound"][2]))
+        states = _physics_states(self.robot, terrain, pose0, controls, pool_k)
+        figs_dir = os.path.join(self.log_dir, "figures")
+        os.makedirs(figs_dir, exist_ok=True)
+        path = os.path.join(figs_dir, f"prediction_{tag}.png")
+        return vis.save_prediction_figure(
+            terrain, np.asarray(hm_geom)[0, 0:1], np.asarray(hm_terrain)[0, 0:1],
+            np.asarray(states.x)[0], np.asarray(Xs)[0],
+            d_max=float(self.dphys_cfg.d_max), path=path)
+
+    def train(self, train_loader, val_loader, n_epochs: int = 1, seed: int = 0,
+              save_figures: bool = True):
         rng = jax.random.PRNGKey(seed)
         tr_step = va_step = 0
         history = []
@@ -280,6 +306,8 @@ class Trainer:
             if val_losses["total"] < self.min_val_loss:
                 self.min_val_loss = val_losses["total"]
                 self.save_checkpoint("val_best")
+            if save_figures and getattr(self, "_last_batch", None) is not None:
+                self.log_prediction_figure(self._last_batch, f"epoch_{e}")
             history.append({"train": train_losses, "val": val_losses})
         return history
 

@@ -20,6 +20,9 @@ def main():
     p.add_argument("--dphys_grid_res", type=float, default=0.4)
     p.add_argument("--traj_sim_time", type=float, default=5.0)
     p.add_argument("--out_dir", type=str, default="runs/eval")
+    p.add_argument("--save_figures", action="store_true",
+                   help="write the 3x4 per-batch diagnostic panels "
+                        "(reference eval.py:159-265)")
     args = p.parse_args()
 
     from monoforce_tpu.config import LSSConfig, PhysicsConfig
@@ -60,7 +63,8 @@ def main():
     pool_k = int(round(dphys_cfg.grid_res / lss_cfg.grid_conf["xbound"][2]))
     ev = Evaluator(model, RobotModel.from_config(dphys_cfg), pool_k,
                    out_dir=args.out_dir)
-    means = ev.run(variables, loader)
+    means = ev.run(variables, loader, save_figures=args.save_figures,
+                   d_max=float(dphys_cfg.d_max))
     print(means)
 
 

@@ -41,6 +41,15 @@ def motion(args):
     print("final position:", np.asarray(states.x[0, -1]))
     print(plot_rollout_3d(np.asarray(z[0]), np.asarray(states.x[0]),
                           cfg.d_max, path=args.out))
+    if args.animate:
+        from monoforce_tpu.physics.engine import RigidState
+        from monoforce_tpu.vis import animate_rollout
+        one = RigidState(*(np.asarray(a)[0] for a in states))
+        gif = args.out.rsplit(".", 1)[0] + ".gif"
+        print(animate_rollout(np.asarray(z[0]), one,
+                              robot_points=np.asarray(engine.robot.points),
+                              forces=np.asarray(forces[0])[0],
+                              d_max=float(cfg.d_max), path=gif))
 
 
 def shoot(args):
@@ -87,6 +96,9 @@ def main():
     p.add_argument("--n_trajs", type=int, default=64)
     p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--out", default="robot_control.png")
+    p.add_argument("--animate", action="store_true",
+                   help="also save a rollout GIF (the mayavi "
+                        "animation's stand-in, dphysics.py:607-669)")
     args = p.parse_args()
     (motion if args.demo == "motion" else shoot)(args)
 

@@ -161,3 +161,21 @@ def test_img_transform_no_aug_identity():
                                 (0, 0, W, H), False, 0.0)
     np.testing.assert_allclose(pr, np.eye(2), atol=1e-6)
     np.testing.assert_allclose(pt, 0.0, atol=1e-5)
+
+
+def test_depth_to_cloud_roundtrip():
+    """Back-projected depth pixels land at the expected camera-frame points
+    (reference: examples/rgbd_data.ipynb depth_to_pc)."""
+    from monoforce_tpu.datasets.camera import depth_to_cloud
+
+    H, W = 6, 8
+    K = np.asarray([[100.0, 0, 4.0], [0, 100.0, 3.0], [0, 0, 1.0]])
+    depth = np.full((H, W), 2000.0)  # 2 m everywhere
+    cloud = depth_to_cloud(depth, K)
+    assert cloud.shape == (H * W, 3)
+    np.testing.assert_allclose(cloud[:, 2], 2.0)
+    # the principal-point pixel maps to x == y == 0
+    idx = 3 * W + 4
+    np.testing.assert_allclose(cloud[idx, :2], [0.0, 0.0], atol=1e-6)
+    # one pixel right of center: x = (u - cx) * z / fx = 1 * 2 / 100
+    np.testing.assert_allclose(cloud[idx + 1, 0], 0.02, rtol=1e-5)

@@ -242,3 +242,22 @@ def test_planner_pair_mode_rough_terrain_rmse():
     rmse_x = float(np.sqrt(np.mean(
         (np.asarray(s_pair.x) - np.asarray(s_exact.x)) ** 2)))
     assert rmse_x < 2e-2, rmse_x
+
+
+def test_fast_oob_speed_bound_degrades_gracefully(robot):
+    """Driving faster than the documented window-drift bound (|v| well above
+    2.5 m/s between REFRESH=8 refreshes) must clamp taps to the stale window
+    edge — not NaN, not fly off: the weak spot called out in round 1 (the
+    yaw-rotation bound had a test; the speed bound did not)."""
+    B, N = 4, 100
+    rng = np.random.default_rng(7)
+    z = jnp.asarray(rng.normal(scale=0.1, size=(128, 128)).astype(np.float32))
+    # v = 4 m/s: 0.32 m drift per refresh window (> 2-cell margin)
+    ctr = jnp.tile(jnp.asarray([[4.0, 0.3]]), (B, N, 1))
+    s_fast, stats = fast_rollout(robot, z, ctr)
+    assert np.isfinite(np.asarray(s_fast.x)).all()
+    assert np.isfinite(np.asarray(stats.spring_std)).all()
+    # graceful: the body stays near the terrain surface (no tunnel-through /
+    # launch into space) even with stale-window clamping
+    zs = np.asarray(s_fast.x)[..., 2]
+    assert zs.min() > -2.0 and zs.max() < 3.0, (zs.min(), zs.max())

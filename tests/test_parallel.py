@@ -53,3 +53,74 @@ def test_sharded_shoot_with_state0_and_inclination():
     xs, costs = sharded_shoot(mesh, robot, z, ctr, state0=s0,
                               cost="inclination")
     assert np.isfinite(np.asarray(costs)).all()
+
+
+def test_train_step_dp_equivalence():
+    """The FULL train step (LSS forward + physics rollout + backward + Adam)
+    produces the same parameter update on an 8-device data-parallel mesh as
+    on a single device (VERDICT: catches e.g. BatchNorm batch_stats
+    divergence under data sharding — SPMD must preserve global-batch
+    semantics)."""
+    import numpy as np
+
+    from __graft_entry__ import _fake_inputs, _tiny_cfgs
+    from monoforce_tpu.models import LiftSplatShoot
+    from monoforce_tpu.training.trainer import TrainState, make_train_step
+
+    import optax
+
+    lss_cfg, dphys_cfg = _tiny_cfgs()
+    model = LiftSplatShoot(lss_cfg.grid_conf, lss_cfg.data_aug_conf)
+    robot = RobotModel.from_config(dphys_cfg)
+    # plain SGD so the parameter delta IS the gradient: Adam's first step is
+    # ~lr*sign(g), which amplifies f32 reduction-order noise on near-zero
+    # gradients into 2*lr park-of-sign flips and would mask a real DP bug
+    # behind a loose tolerance (losses still agree to 1e-7 under Adam).
+    optimizer = optax.sgd(1e-2)
+    train_step, _ = make_train_step(model, robot, optimizer, pool_k=4)
+
+    B, n_cams, h, w = 8, 2, 32, 64
+    rng = np.random.default_rng(0)
+    img_inputs = _fake_inputs(rng, B, n_cams, h, w)
+    G, n_ctrl, n_traj = 32, dphys_cfg.n_sim_steps, 3
+    t_sim = dphys_cfg.traj_sim_time
+    batch = img_inputs + (
+        jnp.asarray(rng.normal(size=(B, 2, G, G)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(B, 2, G, G)).astype(np.float32)),
+        jnp.tile(jnp.linspace(0, t_sim, n_ctrl)[None], (B, 1)),
+        jnp.asarray(rng.uniform(-1, 1, (B, n_ctrl, 2)).astype(np.float32)),
+        jnp.broadcast_to(jnp.eye(4), (B, 4, 4)),
+        jnp.tile(jnp.linspace(0, t_sim, n_traj)[None], (B, 1)),
+        jnp.asarray(rng.normal(size=(B, n_traj, 3)).astype(np.float32)),
+        jnp.zeros((B, n_traj, 3)),
+        jnp.broadcast_to(jnp.eye(3), (B, n_traj, 3, 3)),
+        jnp.zeros((B, n_traj, 3)),
+    )
+
+    variables = model.init(jax.random.PRNGKey(0), *img_inputs)
+
+    def fresh_state():
+        return TrainState.create(
+            apply_fn=model.apply, params=variables["params"], tx=optimizer,
+            batch_stats=variables.get("batch_stats", {}))
+
+    step_rng = jax.random.PRNGKey(1)
+    state_1dev, aux_1 = train_step(fresh_state(), batch, step_rng)
+
+    mesh = make_mesh(8)
+    batch_dp = shard_batch(batch, mesh)
+    state_dp = jax.device_put(fresh_state(), replicated(mesh))
+    state_8dev, aux_8 = train_step(state_dp, batch_dp, step_rng)
+
+    assert np.allclose(float(aux_1["total"]), float(aux_8["total"]),
+                       rtol=1e-5), (aux_1, aux_8)
+    flat1 = jax.tree.leaves(state_1dev.params)
+    flat8 = jax.tree.leaves(state_8dev.params)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+    # BatchNorm batch_stats must reflect GLOBAL batch statistics
+    for a, b in zip(jax.tree.leaves(state_1dev.batch_stats),
+                    jax.tree.leaves(state_8dev.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)

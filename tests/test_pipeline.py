@@ -79,7 +79,30 @@ def test_evaluator(tmp_path, setup):
     ev = Evaluator(mf.model, RobotModel.from_config(dcfg4), pool_k=4,
                    out_dir=str(tmp_path))
     loader = NumpyLoader(ds, batch_size=2)
-    means = ev.run(mf.params, loader)
+    means = ev.run(mf.params, loader, save_figures=True,
+                   d_max=float(dcfg.d_max))
     for k in ("hm_geom", "hm_terrain", "traj_xyz", "traj_rot"):
         assert k in means and np.isfinite(means[k])
     assert os.path.exists(tmp_path / "losses.csv")
+    # per-batch 3x4 diagnostic panel (reference eval.py:159-265)
+    assert os.path.getsize(tmp_path / "batch_0000.png") > 1000
+
+
+def test_rollout_animation(tmp_path, setup):
+    """GIF animation parity for DPhysics.visualize (dphysics.py:607-669),
+    rendered headless."""
+    from monoforce_tpu.physics.engine import RigidState, RobotModel, rollout
+    from monoforce_tpu.vis import animate_rollout
+
+    dcfg = PhysicsConfig(robot="tradr")
+    robot = RobotModel.from_config(dcfg)
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(0.2 * rng.normal(size=(128, 128)).astype(np.float32))
+    ctr = jnp.tile(jnp.asarray([[0.7, 0.2]]), (1, 60, 1))
+    states, forces, _ = rollout(robot, z[None], ctr, return_forces=True)
+    one = RigidState(*(np.asarray(a)[0] for a in states))
+    gif = animate_rollout(z, one, robot_points=np.asarray(robot.points),
+                          forces=np.asarray(forces[0])[0],
+                          d_max=float(dcfg.d_max), stride=15,
+                          path=str(tmp_path / "rollout.gif"))
+    assert os.path.getsize(gif) > 5000

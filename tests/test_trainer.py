@@ -115,3 +115,13 @@ def test_gradients_reach_all_heads(setup):
     g = jax.grad(lambda p: loss_fn(p))(trainer.state.params)
     gnorm = float(jnp.sqrt(sum(jnp.sum(x ** 2) for x in jax.tree.leaves(g))))
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_prediction_figure_logged(setup):
+    """Per-epoch prediction figure (reference train.py:207-226): written from
+    the last seen batch with the current params."""
+    trainer, loader, batch, log_dir = setup
+    trainer._last_batch = tuple(jnp.asarray(b) for b in batch)
+    path = trainer.log_prediction_figure(trainer._last_batch, "test")
+    assert os.path.getsize(path) > 1000
+    assert path.startswith(os.path.join(log_dir, "figures"))

@@ -461,9 +461,12 @@ def _step_math_pair(cst, patch, state2, tv2, sxy2, pts, n_k, gather2,
     tq0p = ry * fz_ - rz * fy_
     tq1p = rz * fx_ - rx * fz_
     tq2p = rx * fy_ - ry * fx_
-    reduced = reduce_halves([tq0p, tq1p, tq2p, fx_, fy_, fz_, spring_mag])
-    s_mean = jnp.where(hs, reduced[6][0], reduced[6][1]) / n_real
-    ((sv_a, sv_b),) = reduce_halves([(spring_mag - s_mean) ** 2 * maskv])
+    # spring-force statistics via sum + sum-of-squares in the SAME reduce
+    # round (one fewer dependent MXU pass; E[s^2]-E[s]^2 cancellation is
+    # ~1e-2 N on ~1e2 N statistics — far below the cost statistic's own
+    # sensitivity, see docs/PERFORMANCE.md ranking study)
+    reduced = reduce_halves([tq0p, tq1p, tq2p, fx_, fy_, fz_, spring_mag,
+                             spring_mag * spring_mag])
 
     om = cst[_C_OMAX]
     i00 = cst[_C_I00]
@@ -474,8 +477,8 @@ def _step_math_pair(cst, patch, state2, tv2, sxy2, pts, n_k, gather2,
     i22 = cst[_C_I22]
     halves = []
     for h in range(2):
-        tq0, tq1, tq2, sfx_s, sfy_s, sfz_s, s_sum = (r[h] for r in reduced)
-        s_var = (sv_a, sv_b)[h]
+        (tq0, tq1, tq2, sfx_s, sfy_s, sfz_s, s_sum, s_sumsq) = (
+            r[h] for r in reduced)
         n_cp_h = (ncp_a, ncp_b)[h]
         aw0 = jnp.clip(i00 * tq0 + i01 * tq1 + i02 * tq2, -om, om)
         aw1 = jnp.clip(i01 * tq0 + i11 * tq1 + i12 * tq2, -om, om)
@@ -483,7 +486,9 @@ def _step_math_pair(cst, patch, state2, tv2, sxy2, pts, n_k, gather2,
         ax = (m * g * cst[_C_GD0] + sfx_s) / m
         ay = (m * g * cst[_C_GD1] + sfy_s) / m
         az = (m * g * cst[_C_GD2] + sfz_s) / m
-        s_std = jnp.sqrt(s_var / n_real + 1e-30)
+        s_mean = s_sum / n_real
+        s_var = jnp.maximum(s_sumsq / n_real - s_mean * s_mean, 0.0)
+        s_std = jnp.sqrt(s_var + 1e-30)
         halves += [ax, ay, az, aw0, aw1, aw2, s_std, n_cp_h]
     return jnp.concatenate(halves, axis=1)    # (BP, 16)
 
@@ -510,20 +515,20 @@ def _half_ones2():
 
 
 def _fk_pair_kernel(cst_ref, patch_ref, state_ref, tv_ref, sxy_ref, pts_ref,
-                    ones_ref, out_ref):
+                    ones_ref, out_ref, *, n_k):
     patch = patch_ref[:]
     rb = patch.shape[0]
     ones2 = ones_ref[:]
     hs = jax.lax.broadcasted_iota(jnp.int32, (rb, 128), 1) < 64
     out_ref[:] = _step_math_pair(
         cst_ref, patch, state_ref[:], tv_ref[:], sxy_ref[:], pts_ref[:],
-        n_k=4,
+        n_k=n_k,
         gather2=lambda p, b, it: _gather128(p, b, it, rb),
         reduce_halves=lambda planes: _mxu_reduce_halves(planes, ones2),
         half_mask=hs)
 
 
-def _fk_pair_xla(cst, patch, state2, tv2, sxy2, pts):
+def _fk_pair_xla(cst, patch, state2, tv2, sxy2, pts, n_k=4):
     bp = patch.shape[0]
     hs = jax.lax.broadcasted_iota(jnp.int32, (bp, 128), 1) < 64
 
@@ -536,16 +541,18 @@ def _fk_pair_xla(cst, patch, state2, tv2, sxy2, pts):
                  jnp.sum(jnp.where(hs, 0.0, p), axis=1, keepdims=True))
                 for p in planes]
 
-    return _step_math_pair(cst, patch, state2, tv2, sxy2, pts, n_k=4,
+    return _step_math_pair(cst, patch, state2, tv2, sxy2, pts, n_k=n_k,
                            gather2=gather2, reduce_halves=reduce_halves,
                            half_mask=hs)
 
 
-def _fk_pair_pallas(cst, patch, state2, tv2, sxy2, pts):
+def _fk_pair_pallas(cst, patch, state2, tv2, sxy2, pts, n_k):
+    import functools
+
     BP = patch.shape[0]
     ones2 = _half_ones2()
     return pl.pallas_call(
-        _fk_pair_kernel,
+        functools.partial(_fk_pair_kernel, n_k=n_k),
         grid=(BP // _RB,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -562,15 +569,16 @@ def _fk_pair_pallas(cst, patch, state2, tv2, sxy2, pts):
     )(cst, patch, state2, tv2, sxy2, pts, ones2)
 
 
-def fk_step_pair(cst, patch, state2, tv2, sxy2, pts):
+def fk_step_pair(cst, patch, state2, tv2, sxy2, pts, n_k: int = 4):
     """Pair-packed fk_step: two trajectories per register row (forward-only;
     the shooting planner never differentiates this path).
 
     cst: (18,) (pack_consts); patch: (BP, 512) packed bf16 [z|mu] window
     words, BP = B/2; state2: (BP, 36); tv2: (BP, 16); sxy2: (BP, 4);
-    pts: (8, 128) (pack_points_pair).
+    pts: (8, 128) (pack_points_pair); n_k: number of driving-mask rows
+    actually used (static — 2 for tracked robots halves the cmd selects).
     Returns (BP, 16) = two interleaved (B, 8) acceleration/stat vectors.
     """
     if jax.default_backend() == "tpu" and patch.shape[0] % _RB == 0:
-        return _fk_pair_pallas(cst, patch, state2, tv2, sxy2, pts)
-    return _fk_pair_xla(cst, patch, state2, tv2, sxy2, pts)
+        return _fk_pair_pallas(cst, patch, state2, tv2, sxy2, pts, n_k)
+    return _fk_pair_xla(cst, patch, state2, tv2, sxy2, pts, n_k)

@@ -652,8 +652,8 @@ def planner_rollout(robot: RobotModel, z_grid, controls,
         for k in range(tvs.shape[0]):
             if pair:
                 acc8 = fk_step_pair(cst, patch2, state18.reshape(-1, 36),
-                                    tvs[k].reshape(-1, 16), sxy2,
-                                    pts).reshape(-1, 8)
+                                    tvs[k].reshape(-1, 16), sxy2, pts,
+                                    n_k=robot.n_tracks).reshape(-1, 8)
             else:
                 acc8 = fk_step(cst, patch, state18, tvs[k], sxy, pts)
             state18 = integrate(state18, acc8)

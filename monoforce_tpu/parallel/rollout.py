@@ -3,8 +3,8 @@
 The rollout batch (sampled control sequences) is embarrassingly parallel —
 each trajectory only reads the shared terrain.  ``sharded_shoot`` uses
 ``shard_map`` over the ``('data',)`` mesh: the terrain replicates to every
-chip, the controls/state shard, each chip rolls its slice with the fast
-path, and only the final (B,) costs ride the ICI back (an all_gather of a
+chip, the controls/state shard, each chip rolls its slice with the serving
+planner path, and only the final (B,) costs ride the ICI back (an all_gather of a
 few KB).  This is the TPU-native scaling story that replaces the reference's
 nonexistent distributed backend (SURVEY.md §2.5).
 """
@@ -19,7 +19,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from monoforce_tpu.physics.engine import RigidState, RobotModel
-from monoforce_tpu.physics.fast import fast_rollout
+from monoforce_tpu.physics.fast import planner_rollout
 from monoforce_tpu.planner.shooting import (
     force_variance_cost, inclination_cost,
 )
@@ -44,7 +44,9 @@ def sharded_shoot(mesh: Mesh, robot: RobotModel, z_grid, controls,
         friction = jnp.ones_like(z_grid)
 
     def local_shoot(z, fr, ctr, st):
-        states, stats = fast_rollout.__wrapped__(
+        # serving path per shard (forward-only shooting); pair mode engages
+        # when the per-shard batch and contact preset allow it
+        states, stats = planner_rollout.__wrapped__(
             robot, z, ctr, state0=st, friction=fr)
         if cost == "force_variance":
             costs = force_variance_cost(stats.spring_std)

@@ -33,6 +33,18 @@ the four point groups are rotated about their y-axis joints per step and the
 inertia tensor is recomputed and inverted (symmetric 3x3 adjugate) in
 component planes, matching engine.update_joints / dphysics.py:326-358.
 
+Two rollouts live here (docs/PERFORMANCE.md has the measurement story):
+
+- :func:`fast_rollout` — the differentiable production path described above
+  (terrain lookups through the `fk_interp` kernel, everything else XLA);
+- :func:`planner_rollout` — the forward-only SERVING path: the whole
+  per-point step runs in one Pallas kernel reducing to eight (B,) planes in
+  VMEM (`ops/fk_step_pallas.py`), integration is vectorized over the packed
+  (B, 18) carry, and P <= 64 contact presets pack TWO trajectories per
+  128-lane register row with bf16 [z|mu] pair tap words (measured, gated
+  accuracy trades).  This is the headline-benchmark path (9.3 ms sustained
+  for 4096 x 100 steps on one v5e chip).
+
 Equivalence to the exact path: in-bounds queries produce identical taps and
 identical arithmetic; behavior differs from the reference's flat-index clamp
 (dphysics.py:432-435) only for queries outside the grid or a stale window

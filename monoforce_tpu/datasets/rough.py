@@ -26,7 +26,7 @@ from PIL import Image
 
 from monoforce_tpu.config import PhysicsConfig, DEFAULT_LSS_CONFIG
 from monoforce_tpu.datasets.augment import (
-    img_transform, normalize_img, resize_img, sample_augmentation,
+    img_transform, normalize_img, sample_augmentation,
 )
 from monoforce_tpu.datasets.camera import ego_to_cam, in_image_mask
 from monoforce_tpu.datasets.wildscenes import METAINFO, rigid_classes

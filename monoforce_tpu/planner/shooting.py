@@ -22,9 +22,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from monoforce_tpu.physics.engine import (
-    DPhysics, RigidState, RobotModel, rollout,
-)
+from monoforce_tpu.physics.engine import RigidState, RobotModel
 from monoforce_tpu.physics.controls import shooting_controls
 
 __all__ = [

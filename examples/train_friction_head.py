@@ -11,6 +11,15 @@ must explain why the robot slips there.
 Run: python examples/train_friction_head.py
 """
 
+import os as _os
+import sys as _sys
+
+# make the repo root importable when run as `python scripts/x.py` (a runtime
+# insert, NOT PYTHONPATH: pre-setting PYTHONPATH breaks the TPU plugin
+# registration in this environment)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -17,6 +17,15 @@ so both are stubbed in ``sys.modules`` before import.
 Usage:  python scripts/make_golden.py  [--out tests/golden]
 """
 
+import os as _os
+import sys as _sys
+
+# make the repo root importable when run as `python scripts/x.py` (a runtime
+# insert, NOT PYTHONPATH: pre-setting PYTHONPATH breaks the TPU plugin
+# registration in this environment)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 from __future__ import annotations
 
 import argparse

@@ -4,6 +4,15 @@ images + calibration -> LSS terrain -> shoot sampled controls -> visualize
 the paths and the selected one.
 """
 
+import os as _os
+import sys as _sys
+
+# make the repo root importable when run as `python scripts/x.py` (a runtime
+# insert, NOT PYTHONPATH: pre-setting PYTHONPATH breaks the TPU plugin
+# registration in this environment)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 
 import jax

@@ -6,6 +6,15 @@ production hyperparameters in scripts/train.sh: bsz 24, terrain weight 3.0,
 phys weight 4.0).
 """
 
+import os as _os
+import sys as _sys
+
+# make the repo root importable when run as `python scripts/x.py` (a runtime
+# insert, NOT PYTHONPATH: pre-setting PYTHONPATH breaks the TPU plugin
+# registration in this environment)
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import os
 

@@ -54,15 +54,13 @@ N_STEPS = int(os.environ.get("BENCH_N", 100))
 TARGET_MS = 10.0
 REPS = int(os.environ.get("BENCH_REPS", 100))
 OUTER = int(os.environ.get("BENCH_OUTER", 3))
-# serving-grade contact preset (P=62 for tradr): pairs two trajectories
-# per 128-lane register row; see docs/PERFORMANCE.md "pair mode" for the
-# measured accuracy trade and its gates
-PLANNER_CONTACT_VOXEL = float(os.environ.get("BENCH_VOXEL", 0.15))
+
 
 
 def main():
-    cfg = PhysicsConfig(robot="tradr",
-                        mesh_voxel_size=PLANNER_CONTACT_VOXEL)
+    # serving-grade preset: P<=64 contact points engage trajectory-pair
+    # register packing (docs/PERFORMANCE.md "pair mode"; trades test-gated)
+    cfg = PhysicsConfig.for_planner("tradr")
     robot = RobotModel.from_config(cfg)
 
     # gaussian-hill terrain shared across the shooting batch (the online

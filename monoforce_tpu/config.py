@@ -115,6 +115,22 @@ class PhysicsConfig:
     joint_positions: dict = field(default_factory=dict)
     joint_angles: dict = field(default_factory=dict)
 
+    @classmethod
+    def for_planner(cls, robot: str = "tradr", **overrides) -> "PhysicsConfig":
+        """Serving-grade config: the coarsest contact preset that keeps the
+        point count within 64, so the planner rollout's trajectory-pair
+        register packing engages (docs/PERFORMANCE.md "pair mode").  The
+        accuracy trades are measured and test-gated; per-robot voxels are
+        chosen once here instead of magic numbers at call sites."""
+        key = _robot_key(robot)
+        voxel = {"tradr": 0.15, "marv": 0.13, "husky": 0.16}[key]
+        overrides.setdefault("mesh_voxel_size", voxel)
+        cfg = cls(robot=robot, **overrides)
+        assert cfg.robot_points.shape[0] <= 64, (
+            f"planner preset for {robot} yields "
+            f"{cfg.robot_points.shape[0]} > 64 contact points")
+        return cfg
+
     def __post_init__(self):
         key = _robot_key(self.robot)
         self.robot_mass = _ROBOT_MASS[key]

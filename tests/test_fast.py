@@ -261,3 +261,24 @@ def test_fast_oob_speed_bound_degrades_gracefully(robot):
     # launch into space) even with stale-window clamping
     zs = np.asarray(s_fast.x)[..., 2]
     assert zs.min() > -2.0 and zs.max() < 3.0, (zs.min(), zs.max())
+
+
+def test_planner_pair_mode_all_robots():
+    """PhysicsConfig.for_planner gives every robot a pair-packable preset
+    (P <= 64) and the planner rollout matches the exact path on all of them
+    (marv runs un-articulated here, like the reference online planner)."""
+    from monoforce_tpu.physics.fast import planner_rollout
+    rng = np.random.default_rng(11)
+    z = jnp.asarray(rng.normal(scale=0.08, size=(128, 128)).astype(np.float32))
+    for name in ("tradr", "marv", "husky"):
+        cfg = PhysicsConfig.for_planner(name)
+        rb = RobotModel.from_config(cfg)
+        assert rb.points.shape[0] <= 64, name
+        B, N = 2, 60
+        ctr = jnp.tile(jnp.asarray([[0.6, 0.15]]), (B, N, 1))
+        s_p, st = planner_rollout(rb, z, ctr)
+        s_e, _ = fast_rollout(rb, z, ctr)
+        rmse = float(np.sqrt(np.mean(
+            (np.asarray(s_p.x) - np.asarray(s_e.x)) ** 2)))
+        assert rmse < 5e-3, (name, rmse)
+        assert np.isfinite(np.asarray(st.spring_std)).all()

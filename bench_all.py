@@ -195,8 +195,41 @@ def bench_train_step(reps=5):
         "vs_baseline": round(target / ms, 3)}))
 
 
+def bench_online_tick(reps=10):
+    """The fused online node's full tick (reference monoforce_node.proc:
+    images -> LSS -> repeat terrain -> 64-trajectory shooting -> costs) as
+    ONE jitted program, at the reference's online shapes (4 cams 256x416,
+    n_sim_trajs=64, T=5 s).  The reference's whole loop runs at <= 10 Hz
+    (path_follower control_freq); target: 20 ms/tick (50 Hz)."""
+    from monoforce_tpu.config import PhysicsConfig
+    from monoforce_tpu.pipeline import MonoForce
+    from monoforce_tpu.physics.controls import shooting_controls
+
+    mf = MonoForce(dphys_cfg=PhysicsConfig.for_planner("tradr"))
+    model, variables, inputs = _lss_setup(B=1)
+    mf.model = model
+    mf.params = variables
+    controls, _ = shooting_controls(
+        jax.random.PRNGKey(0), mf.dphys_cfg.n_sim_trajs, mf.dphys_cfg.vel_max,
+        mf.dphys_cfg.omega_max, mf.dphys_cfg.traj_sim_time, mf.dphys_cfg.dt)
+
+    def run(imgs, *rest):
+        def body(acc, i):
+            terrain, plan = mf._predict.__wrapped__(
+                mf, mf.params, imgs + i * 1e-4, *rest, controls, None)
+            return acc + plan.costs.sum() + plan.xs[0, -1, 0], ()
+        return lax.scan(body, 0.0, jnp.arange(float(reps)))[0]
+
+    ms = _sustained_ms(run, *inputs, reps=reps)
+    target = 20.0
+    print(json.dumps({
+        "metric": "online_tick_4cam_to_best_path_latency",
+        "value": round(ms, 3), "unit": "ms",
+        "vs_baseline": round(target / ms, 3)}))
+
+
 if __name__ == "__main__":
-    which = os.environ.get("BENCH_ALL", "parity,fit,lss,train").split(",")
+    which = os.environ.get("BENCH_ALL", "parity,fit,lss,train,tick").split(",")
     if "parity" in which:
         bench_parity()
     if "fit" in which:
@@ -205,3 +238,5 @@ if __name__ == "__main__":
         bench_lss()
     if "train" in which:
         bench_train_step()
+    if "tick" in which:
+        bench_online_tick()

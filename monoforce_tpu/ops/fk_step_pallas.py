@@ -56,6 +56,17 @@ _C_I00, _C_I01, _C_I02, _C_I11, _C_I12, _C_I22, _C_DT = range(11, 18)
 _N_CST = 18
 
 
+def _block_rows(B: int) -> int:
+    """Largest row-block <= _RB that divides B and respects the (8, 128)
+    sublane tile — so the kernels serve ANY batch from the online node's
+    B=64 up to the 4096-trajectory bench without falling back to XLA's
+    elementwise gathers (~300x slower)."""
+    for rb in (512, 256, 128, 64, 32, 16, 8):
+        if B % rb == 0:
+            return rb
+    return 0
+
+
 def pack_consts(robot) -> jax.Array:
     """Scalar constants vector for fk_step from a RobotModel."""
     ii = robot.inertia_inv
@@ -256,23 +267,23 @@ def _fk_step_xla(cst, patch, state, tv, sxy, pts):
                       gather=gather, reduce_lanes=reduce_lanes)
 
 
-def _fk_step_pallas(cst, patch, state, tv, sxy, pts):
+def _fk_step_pallas(cst, patch, state, tv, sxy, pts, rb):
     B = patch.shape[0]
     pw = pts.shape[1]
     ones_col = jnp.ones((pw, 8), jnp.float32)
     return pl.pallas_call(
         _fk_step_kernel,
-        grid=(B // _RB,),
+        grid=(B // rb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((_RB, 512), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_RB, 18), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_RB, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_RB, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 512), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 18), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, pw), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((pw, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_RB, 8), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((rb, 8), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 8), jnp.float32),
     )(cst, patch, state, tv, sxy, pts, ones_col)
@@ -291,9 +302,9 @@ def fk_step(cst, patch, state, tv, sxy, pts):
     packed (B, 18) carry — measured 4x cheaper than Mosaic's narrow-column
     arithmetic for the same math).
     """
-    if (jax.default_backend() == "tpu" and patch.shape[0] % _RB == 0
-            and pts.shape[1] == 128):
-        return _fk_step_pallas(cst, patch, state, tv, sxy, pts)
+    rb = _block_rows(patch.shape[0])
+    if jax.default_backend() == "tpu" and rb and pts.shape[1] == 128:
+        return _fk_step_pallas(cst, patch, state, tv, sxy, pts, rb)
     return _fk_step_xla(cst, patch, state, tv, sxy, pts)
 
 
@@ -546,24 +557,24 @@ def _fk_pair_xla(cst, patch, state2, tv2, sxy2, pts, n_k=4):
                            half_mask=hs)
 
 
-def _fk_pair_pallas(cst, patch, state2, tv2, sxy2, pts, n_k):
+def _fk_pair_pallas(cst, patch, state2, tv2, sxy2, pts, n_k, rb):
     import functools
 
     BP = patch.shape[0]
     ones2 = _half_ones2()
     return pl.pallas_call(
         functools.partial(_fk_pair_kernel, n_k=n_k),
-        grid=(BP // _RB,),
+        grid=(BP // rb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((_RB, 512), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_RB, 36), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_RB, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_RB, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 512), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 36), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((128, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_RB, 16), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((rb, 16), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((BP, 16), jnp.float32),
     )(cst, patch, state2, tv2, sxy2, pts, ones2)
@@ -579,6 +590,7 @@ def fk_step_pair(cst, patch, state2, tv2, sxy2, pts, n_k: int = 4):
     actually used (static — 2 for tracked robots halves the cmd selects).
     Returns (BP, 16) = two interleaved (B, 8) acceleration/stat vectors.
     """
-    if jax.default_backend() == "tpu" and patch.shape[0] % _RB == 0:
-        return _fk_pair_pallas(cst, patch, state2, tv2, sxy2, pts, n_k)
+    rb = _block_rows(patch.shape[0])
+    if jax.default_backend() == "tpu" and rb:
+        return _fk_pair_pallas(cst, patch, state2, tv2, sxy2, pts, n_k, rb)
     return _fk_pair_xla(cst, patch, state2, tv2, sxy2, pts, n_k)

@@ -103,19 +103,29 @@ def _fk_xla(patch, wx, wy, sxy, cst):
     return jnp.concatenate(planes, axis=1)
 
 
-def _fk_pallas(patch, wx, wy, sxy, cst):
+def _block_rows(B: int) -> int:
+    """Largest row-block <= _RB dividing B on the (8, 128) tile grid — the
+    kernel serves any batch (online node B=64 through bench B=4096) without
+    the ~300x-slower XLA elementwise-gather fallback."""
+    for rb in (512, 256, 128, 64, 32, 16, 8):
+        if B % rb == 0:
+            return rb
+    return 0
+
+
+def _fk_pallas(patch, wx, wy, sxy, cst, rb):
     B, pw = wx.shape
     return pl.pallas_call(
         _fk_kernel,
-        grid=(B // _RB,),
+        grid=(B // rb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((_RB, 512), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_RB, pw), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_RB, pw), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_RB, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 512), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, pw), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, pw), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_RB, 5 * pw), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((rb, 5 * pw), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 5 * pw), jnp.float32),
     )(cst, patch, wx, wy, sxy)
@@ -132,8 +142,9 @@ def fk_interp(patch, wx, wy, sxy, cst):
     sxy: (B, 2) f32 window min-corners; cst: (2,) [d_max, 1/grid_res].
     Returns (B, 5*PW): [z | n_x | n_y | n_z | mu] planes.
     """
-    if jax.default_backend() == "tpu" and patch.shape[0] % _RB == 0:
-        return _fk_pallas(patch, wx, wy, sxy, cst)
+    rb = _block_rows(patch.shape[0])
+    if jax.default_backend() == "tpu" and rb:
+        return _fk_pallas(patch, wx, wy, sxy, cst, rb)
     return _fk_xla(patch, wx, wy, sxy, cst)
 
 

@@ -600,9 +600,10 @@ def planner_rollout(robot: RobotModel, z_grid, controls,
     # pair mode: P <= 64 contact presets pack two trajectories per register
     # row and read bf16 [z|mu] packed tap words — halves the per-point VPU
     # element count, which is the measured roofline (docs/PERFORMANCE.md).
-    pair = (P <= 64 and controls.shape[0] % 2 == 0
-            and (jax.default_backend() != "tpu"
-                 or controls.shape[0] % 1024 == 0))
+    # the pair kernel serves any even batch whose half lands on the (8, 128)
+    # sublane tile grid (fk_step_pallas._block_rows) — from the online
+    # node's B=64 through the 4096-trajectory bench
+    pair = P <= 64 and controls.shape[0] % 16 == 0
     pts = pack_points_pair(robot) if pair else pack_points(robot)
     st = _unpack_state(state0)
 

@@ -22,7 +22,7 @@ jitted program (the continuous-planning serving pattern), one host sync at
 the end.  The axon test harness has a ~32 ms fixed dispatch floor per host
 call which is amortized as floor/REPS into the printed number (REPS=10 runs
 in round 1 carried ~3.2 ms of it — the "23 vs 27 ms" discrepancy); at the
-default REPS=50 the figure is within ~0.7 ms of pure device time.
+default REPS=100 the figure is within ~0.4 ms of pure device time.
 
 Runs on the planner rollout path (monoforce_tpu.physics.fast.planner_rollout):
 the per-point physics of each step fused into one Pallas kernel that reduces

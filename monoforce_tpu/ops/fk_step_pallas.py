@@ -42,7 +42,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from monoforce_tpu.ops.interp_pallas import TAP_OFFSETS, _gather128
+from monoforce_tpu.ops.interp_pallas import (TAP_OFFSETS, _block_rows,
+                                             _gather128)
 
 __all__ = ["fk_step", "fk_step_pair", "pack_consts", "pack_points",
            "pack_points_pair"]
@@ -50,21 +51,10 @@ __all__ = ["fk_step", "fk_step_pair", "pack_consts", "pack_points",
 _RB = 512
 
 # cst layout (f32 vector in SMEM)
-_C_DMAX, _C_INVRES, _C_STIFF, _C_DAMP, _C_MASS, _C_G = range(6)
+_C_DMAX, _C_RES, _C_STIFF, _C_DAMP, _C_MASS, _C_G = range(6)
 _C_GD0, _C_GD1, _C_GD2, _C_OMAX, _C_NREAL = range(6, 11)
 _C_I00, _C_I01, _C_I02, _C_I11, _C_I12, _C_I22, _C_DT = range(11, 18)
 _N_CST = 18
-
-
-def _block_rows(B: int) -> int:
-    """Largest row-block <= _RB that divides B and respects the (8, 128)
-    sublane tile — so the kernels serve ANY batch from the online node's
-    B=64 up to the 4096-trajectory bench without falling back to XLA's
-    elementwise gathers (~300x slower)."""
-    for rb in (512, 256, 128, 64, 32, 16, 8):
-        if B % rb == 0:
-            return rb
-    return 0
 
 
 def pack_consts(robot) -> jax.Array:
@@ -72,7 +62,7 @@ def pack_consts(robot) -> jax.Array:
     ii = robot.inertia_inv
     gd = robot.gravity_direction
     return jnp.stack([
-        robot.d_max, 1.0 / robot.grid_res, robot.stiffness, robot.damping,
+        robot.d_max, robot.grid_res, robot.stiffness, robot.damping,
         robot.mass, robot.gravity, gd[0], gd[1], gd[2], robot.omega_max,
         jnp.float32(robot.points.shape[0]),
         ii[0, 0], ii[0, 1], ii[0, 2], ii[1, 1], ii[1, 2], ii[2, 2],
@@ -113,7 +103,6 @@ def _step_math(cst, patch, state, tv, sxy, pts, n_k, gather, reduce_lanes):
     """Per-point step math (jnp ops; runs in-kernel and as the XLA
     reference).  Returns (B, 8): [ax, ay, az, aw0, aw1, aw2, s_std, n_cp]."""
     d_max = cst[_C_DMAX]
-    inv_res = cst[_C_INVRES]
     stiff = cst[_C_STIFF]
     damp = cst[_C_DAMP]
     m = cst[_C_MASS]
@@ -158,8 +147,11 @@ def _step_math(cst, patch, state, tv, sxy, pts, n_k, gather, reduce_lanes):
     vz = v2 + w0 * ry - w1 * rx
 
     # terrain lookup out of the cached window
-    fxq = (wx + d_max) * inv_res
-    fyq = (wy + d_max) * inv_res
+    # DIVIDE like the reference: reciprocal-multiply flips the int32
+    # truncation on ~1.5e-6 of boundary queries (measured)
+    res = cst[_C_RES]
+    fxq = (wx + d_max) / res
+    fyq = (wy + d_max) / res
     xi = fxq.astype(jnp.int32)
     yi = fyq.astype(jnp.int32)
     xf = fxq - xi.astype(jnp.float32)
@@ -177,8 +169,8 @@ def _step_math(cst, patch, state, tv, sxy, pts, n_k, gather, reduce_lanes):
     w_fl = xf * yf
     z = w_cc * tz[0] + w_cf * tz[1] + w_lc * tz[2] + w_fl * tz[3]
     mu = w_cc * tf[0] + w_cf * tf[1] + w_lc * tf[2] + w_fl * tf[3]
-    dz_dx = (tz[1] - tz[0]) * inv_res
-    dz_dy = (tz[2] - tz[0]) * inv_res
+    dz_dx = (tz[1] - tz[0]) / res
+    dz_dy = (tz[2] - tz[0]) / res
     ninv = lax.rsqrt(dz_dx * dz_dx + dz_dy * dz_dy + 1.0)
     nx = -dz_dx * ninv
     ny = -dz_dy * ninv
@@ -378,7 +370,6 @@ def _step_math_pair(cst, patch, state2, tv2, sxy2, pts, n_k, gather2,
     acc = [ax, ay, az, aw0, aw1, aw2, spring_std, n_contacts].
     Same formulas as _step_math (reference dphysics.py:172-272)."""
     d_max = cst[_C_DMAX]
-    inv_res = cst[_C_INVRES]
     stiff = cst[_C_STIFF]
     damp = cst[_C_DAMP]
     m = cst[_C_MASS]
@@ -408,8 +399,11 @@ def _step_math_pair(cst, patch, state2, tv2, sxy2, pts, n_k, gather2,
     vy = v1 + w2 * rx - w0 * rz
     vz = v2 + w0 * ry - w1 * rx
 
-    fxq = (wx + d_max) * inv_res
-    fyq = (wy + d_max) * inv_res
+    # DIVIDE like the reference: reciprocal-multiply flips the int32
+    # truncation on ~1.5e-6 of boundary queries (measured)
+    res = cst[_C_RES]
+    fxq = (wx + d_max) / res
+    fyq = (wy + d_max) / res
     xi = fxq.astype(jnp.int32)
     yi = fyq.astype(jnp.int32)
     xf = fxq - xi.astype(jnp.float32)
@@ -431,8 +425,8 @@ def _step_math_pair(cst, patch, state2, tv2, sxy2, pts, n_k, gather2,
     w_lc = xf * (1 - yf)
     w_fl = xf * yf
     z = w_cc * tz[0] + w_cf * tz[1] + w_lc * tz[2] + w_fl * tz[3]
-    dz_dx = (tz[1] - tz[0]) * inv_res
-    dz_dy = (tz[2] - tz[0]) * inv_res
+    dz_dx = (tz[1] - tz[0]) / res
+    dz_dy = (tz[2] - tz[0]) / res
     ninv = lax.rsqrt(dz_dx * dz_dx + dz_dy * dz_dy + 1.0)
     nx = -dz_dx * ninv
     ny = -dz_dy * ninv

@@ -48,12 +48,16 @@ def _gather128(patch, base, it, rb):
     return acc
 
 
-def _fk_math(patch, wx, wy, sx, sy, d_max, inv_res, gather):
+def _fk_math(patch, wx, wy, sx, sy, d_max, res, gather):
     """Shared math for fk_interp: index computation + taps + quirky bilinear
     weights + forward-difference normals (reference dphysics.py:385-455 via
-    the cached-window reformulation in physics/fast.py)."""
-    fxq = (wx + d_max) * inv_res
-    fyq = (wy + d_max) * inv_res
+    the cached-window reformulation in physics/fast.py).
+
+    Index coordinates DIVIDE by the resolution like the reference — a
+    reciprocal multiply flips the int32 truncation on ~1.5e-6 of queries at
+    cell boundaries (measured), which would break tap-exactness."""
+    fxq = (wx + d_max) / res
+    fyq = (wy + d_max) / res
     xi = fxq.astype(jnp.int32)     # trunc toward zero (reference .long())
     yi = fyq.astype(jnp.int32)
     xf = fxq - xi.astype(jnp.float32)
@@ -70,15 +74,15 @@ def _fk_math(patch, wx, wy, sx, sy, d_max, inv_res, gather):
     # reference weight/tap pairing quirk (dphysics.py:442-445)
     z = w_cc * tz[0] + w_cf * tz[1] + w_lc * tz[2] + w_fl * tz[3]
     mu = w_cc * tf[0] + w_cf * tf[1] + w_lc * tf[2] + w_fl * tf[3]
-    dz_dx = (tz[1] - tz[0]) * inv_res
-    dz_dy = (tz[2] - tz[0]) * inv_res
+    dz_dx = (tz[1] - tz[0]) / res
+    dz_dy = (tz[2] - tz[0]) / res
     inv = lax.rsqrt(dz_dx * dz_dx + dz_dy * dz_dy + 1.0)
     return z, -dz_dx * inv, -dz_dy * inv, inv, mu
 
 
 def _fk_kernel(cst_ref, patch_ref, wx_ref, wy_ref, sxy_ref, out_ref):
     d_max = cst_ref[0]
-    inv_res = cst_ref[1]
+    res = cst_ref[1]
     patch = patch_ref[:]
     sx = sxy_ref[:, 0:1].astype(jnp.int32)    # (RB, 1), lane-broadcasts
     sy = sxy_ref[:, 1:2].astype(jnp.int32)
@@ -86,7 +90,7 @@ def _fk_kernel(cst_ref, patch_ref, wx_ref, wy_ref, sxy_ref, out_ref):
     for half in range(pw // 128):
         sl = slice(half * 128, (half + 1) * 128)
         planes = _fk_math(patch, wx_ref[:, sl], wy_ref[:, sl], sx, sy,
-                          d_max, inv_res,
+                          d_max, res,
                           lambda p, b, it: _gather128(p, b, it, rb))
         for j, plane in enumerate(planes):
             out_ref[:, j * pw + half * 128: j * pw + (half + 1) * 128] = plane
@@ -139,7 +143,7 @@ def fk_interp(patch, wx, wy, sxy, cst):
 
     patch: (B, 512) [z(256) | friction(256)] row-major 16x16 windows;
     wx, wy: (B, PW) world-frame query coordinates, PW a multiple of 128;
-    sxy: (B, 2) f32 window min-corners; cst: (2,) [d_max, 1/grid_res].
+    sxy: (B, 2) f32 window min-corners; cst: (2,) [d_max, grid_res].
     Returns (B, 5*PW): [z | n_x | n_y | n_z | mu] planes.
     """
     rb = _block_rows(patch.shape[0])

@@ -223,7 +223,7 @@ def _make_consts(robot: RobotModel) -> _Consts:
         maskv=jnp.pad(jnp.ones((P,), jnp.float32), (0, pad)),
         dmask=jnp.pad(robot.driving_masks, ((0, 0), (0, pad))),
         n_real=jnp.float32(P),
-        cst=jnp.stack([robot.d_max, 1.0 / robot.grid_res]).astype(jnp.float32),
+        cst=jnp.stack([robot.d_max, robot.grid_res]).astype(jnp.float32),
         jx=robot.joint_positions[:, 0],
         jz=robot.joint_positions[:, 2],
     )
@@ -460,13 +460,11 @@ def fast_rollout(robot: RobotModel, z_grid, controls,
         k4 = dt * (da + k3)
         return a + (k1 + 2 * k2 + 2 * k3 + k4) / 6
 
-    # settle to mean terrain height under the body (dphysics.py:566-571)
+    # settle to mean terrain height under the body (dphysics.py:566-571) —
+    # the reference settles with the UNARTICULATED cloud even when flipper
+    # angles are supplied (it reads self.robot_points before update_joints)
     from monoforce_tpu.ops.interp_pallas import fk_interp
-    if articulated:
-        px0, py0, pz0 = _articulate(c, joint_angles[:, 0])
-    else:
-        px0, py0, pz0 = c.px, c.py, c.pz
-    wx0, wy0 = _world_xy(c, st, px0, py0, pz0)
+    wx0, wy0 = _world_xy(c, st, c.px, c.py, c.pz)
     sxy0, patch0 = _extract_windows(z_grid, friction, wx0, wy0,
                                     robot.d_max, robot.grid_res)
     z0 = fk_interp(patch0, wx0, wy0, sxy0, c.cst)[:, :wx0.shape[1]]

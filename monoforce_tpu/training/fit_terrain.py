@@ -52,10 +52,12 @@ def _loss_fn(params: TerrainParams, robot: RobotModel, controls, states_gt,
     B = controls.shape[0]
     zb = jnp.broadcast_to(params.z_grid, (B,) + params.z_grid.shape)
     fb = jnp.broadcast_to(params.friction, (B,) + params.friction.shape)
-    if use_fast and not robot.has_flippers:
+    if use_fast and not robot.has_flippers and remat_segment is None:
         # the production fast path is differentiable (custom VJPs route the
         # backward through the XLA reference implementations) and parity-
-        # gated vs the exact engine; ~2x faster fits at bench scales
+        # gated vs the exact engine; ~2x faster fits at bench scales.  It has
+        # no remat support, so long horizons (remat_segment set) take the
+        # exact engine below and keep their O(N/K + K) BPTT memory bound.
         from monoforce_tpu.physics.fast import fast_rollout
         states, _ = fast_rollout.__wrapped__(robot, zb, controls,
                                              state0=state0, friction=fb,

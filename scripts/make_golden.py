@@ -17,6 +17,8 @@ so both are stubbed in ``sys.modules`` before import.
 Usage:  python scripts/make_golden.py  [--out tests/golden]
 """
 
+from __future__ import annotations
+
 import os as _os
 import sys as _sys
 
@@ -25,13 +27,9 @@ import sys as _sys
 # registration in this environment)
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
-
-from __future__ import annotations
-
 import argparse
 import os
 import sys
-import types
 
 import numpy as np
 
@@ -40,40 +38,15 @@ REF_SRC = "/root/reference/monoforce/src"
 sys.path.insert(0, REPO)
 
 # ---------------------------------------------------------------------------
-# Stub the reference's unavailable imports, then import the reference engine.
+# Import the reference engine through the SAME loader the head-to-head tests
+# use (tests/ref_loader.py): identical stubs + identical injected point
+# clouds, so golden generation and the parity tests can never diverge.
 # ---------------------------------------------------------------------------
 
 def _import_reference():
-    if "torchdiffeq" not in sys.modules:
-        stub = types.ModuleType("torchdiffeq")
-        stub.odeint = None  # euler path (dphysics.py:467-497) never calls it
-        sys.modules["torchdiffeq"] = stub
-    if "open3d" not in sys.modules:
-        o3d = types.ModuleType("open3d")
-        o3d.io = types.SimpleNamespace(read_triangle_mesh=None)
-        o3d.geometry = types.SimpleNamespace(PointCloud=None)
-        sys.modules["open3d"] = o3d
-    sys.path.insert(0, REF_SRC)
-
-    import torch
-    from monoforce_tpu import robots as tpu_robots
-    from monoforce.models.traj_predictor import dphys_config as ref_cfg_mod
-
-    # Inject OUR procedural point clouds in place of the open3d mesh loader
-    # (dphys_config.py:8-35).  robot_geometry (dphys_config.py:38-74) then
-    # derives driving masks with the REFERENCE's own rules.
-    def _points_from_repo(robot, voxel_size=0.1, return_mesh=False):
-        assert not return_mesh
-        pts = tpu_robots.robot_point_cloud(robot, voxel_size=voxel_size)
-        return torch.as_tensor(np.asarray(pts), dtype=torch.float32)
-
-    ref_cfg_mod.get_points_from_robot_mesh = _points_from_repo
-
-    # Import dphysics only AFTER the patch: ``DPhysics.__init__``'s default
-    # ``dphys_cfg=DPhysConfig()`` is evaluated at class-definition time and
-    # would otherwise hit the open3d loader.
-    from monoforce.models.traj_predictor import dphysics as ref_dphys_mod
-    return torch, ref_cfg_mod, ref_dphys_mod
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from ref_loader import load_reference_dphysics
+    return load_reference_dphysics()
 
 
 # ---------------------------------------------------------------------------

@@ -103,3 +103,30 @@ def make_ref_lss_shell(ref_lss, torch, grid_conf, data_aug_conf,
     shell.D = shell.frustum.shape[0]
     shell.use_quickcumsum = use_quickcumsum
     return shell
+
+
+def load_reference_dphysics():
+    """Returns (torch, ref_dphys_cfg_module, ref_dphysics_module) with this
+    repo's procedural point clouds injected in place of the open3d mesh
+    loader — the single definition shared by the head-to-head tests and
+    ``scripts/make_golden.py`` (golden generation and tests must import the
+    reference identically or parity gates compare different robots)."""
+    _stub_misc()
+    if REF_SRC not in sys.path:
+        sys.path.insert(0, REF_SRC)
+    import torch
+    from monoforce_tpu import robots as tpu_robots
+    from monoforce.models.traj_predictor import dphys_config as ref_cfg_mod
+
+    def _points_from_repo(robot, voxel_size=0.1, return_mesh=False):
+        assert not return_mesh
+        pts = tpu_robots.robot_point_cloud(robot, voxel_size=voxel_size)
+        return torch.as_tensor(np.asarray(pts), dtype=torch.float32)
+
+    ref_cfg_mod.get_points_from_robot_mesh = _points_from_repo
+
+    # Import dphysics only AFTER the patch: ``DPhysics.__init__``'s default
+    # ``dphys_cfg=DPhysConfig()`` is evaluated at class-definition time and
+    # would otherwise hit the open3d loader.
+    from monoforce.models.traj_predictor import dphysics as ref_dphys_mod
+    return torch, ref_cfg_mod, ref_dphys_mod

@@ -12,6 +12,7 @@ from monoforce_tpu.planner.selector import (
 from monoforce_tpu.planner.controller import (
     FollowerController, path_time_cost, pose_clear,
 )
+from monoforce_tpu.planner.navigator import NavigationResult, navigate
 
 __all__ = [
     "Planner",
@@ -27,4 +28,6 @@ __all__ = [
     "FollowerController",
     "path_time_cost",
     "pose_clear",
+    "NavigationResult",
+    "navigate",
 ]

@@ -188,3 +188,27 @@ def test_gridmap_roundtrip_and_start_indices():
     pts = heightmap_to_cloud_points(hm, 0.1, xyz=np.array([1.0, 2.0, 0.0]))
     assert pts.shape == (256, 3)
     np.testing.assert_allclose(pts[:, 2].mean(), hm.mean(), atol=1e-5)
+
+
+def test_closed_loop_navigation():
+    """The full L2-L8 loop (plan -> select -> follow -> simulate -> replan)
+    reaches a waypoint on smooth terrain — the integration the reference
+    only exercises through its Gazebo launch stack
+    (husky_gazebo_monoforce.launch)."""
+    import jax.numpy as jnp
+
+    from monoforce_tpu.config import PhysicsConfig
+    from monoforce_tpu.planner.navigator import navigate
+
+    cfg = PhysicsConfig.for_planner("tradr")
+    gx, gy = cfg.grid_coords()
+    z = jnp.asarray((0.15 * np.exp(-((gx - 2.0) ** 2 + gy ** 2) / 3.0))
+                    .astype(np.float32))
+    res = navigate(cfg, z, waypoints=np.asarray([[2.5, 1.0, 0.0]]),
+                   n_trajs=8, plan_horizon=1.5, max_time=25.0)
+    assert res.reached, res.positions[-1]
+    assert len(res.plans) >= 2                 # it replanned along the way
+    assert np.isfinite(res.positions).all()
+    # the follower actually drove (not teleported): bounded per-tick motion
+    steps = np.linalg.norm(np.diff(res.positions[:, :2], axis=0), axis=-1)
+    assert steps.max() < cfg.vel_max * 0.1 * 1.5

@@ -13,9 +13,10 @@ Design notes (TPU-first):
 - the config is host-side (numpy / python scalars).  Device arrays are
   produced once via :meth:`PhysicsConfig.robot_model` /
   :meth:`PhysicsConfig.terrain_defaults`, keeping jit signatures stable.
-- ``use_odeint`` does not exist here: the integrator is a ``lax.scan`` with
-  euler (parity target — the reference's explicit ``dynamics()`` loop,
-  dphysics.py:467-497) or rk4 stepping.
+- ``use_odeint`` selects between the two golden-gated integrators (the
+  reference DEFAULT ``dynamics_odeint``, dphys_config.py:153, vs the
+  semi-implicit ``dynamics()``); both are ``lax.scan`` programs — see
+  ``physics.engine.rollout`` / ``rollout_odeint``.
 """
 
 from __future__ import annotations
@@ -98,6 +99,14 @@ class PhysicsConfig:
     dt: float = 0.01
     n_sim_trajs: int = 64
     integration_mode: str = "euler"  # 'euler' | 'rk4'
+    # Which reference integrator DPhysics dispatches to.  The REFERENCE
+    # default is True (dphys_config.py:153 -> dynamics_odeint: fully-explicit
+    # euler over the extended state, dphysics.py:499-528); this framework
+    # defaults to False (semi-implicit dynamics(), dphysics.py:467-497) —
+    # the stabler integrator and the one the fast/serving paths build on.
+    # Both are golden-gated vs the real torch engine; the measured divergence
+    # between them is documented in PARITY.md ("integrator divergence").
+    use_odeint: bool = False
 
     # optional mesh source for contact points.  The default voxel keeps
     # every preset's contact set within 128 points — one TPU lane register

@@ -11,7 +11,7 @@ from __future__ import annotations
 import flax.linen as nn
 
 from monoforce_tpu.models.terrain_encoder.layers import (
-    ScaledTanh, Up, upsample_align_corners,
+    ScaledTanh, Up, gelu_exact, upsample_align_corners,
 )
 
 __all__ = ["BevEncode", "BasicBlock"]
@@ -26,11 +26,15 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
+        # torchvision pads SYMMETRICALLY (conv3x3: padding=1) even at
+        # stride 2; flax 'SAME' would pad (0, 1) there — a one-pixel window
+        # misalignment vs the reference resnet18 trunk (lss.py:105-112).
         h = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
-                    use_bias=False)(x)
+                    padding=((1, 1), (1, 1)), use_bias=False)(x)
         h = nn.BatchNorm(use_running_average=not train)(h)
         h = nn.relu(h)
-        h = nn.Conv(self.features, (3, 3), use_bias=False)(h)
+        h = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False)(h)
         # zero-init the last BN scale like resnet18(zero_init_residual=True)
         h = nn.BatchNorm(use_running_average=not train,
                          scale_init=nn.initializers.zeros)(h)
@@ -54,7 +58,7 @@ class _Head(nn.Module):
         x = upsample_align_corners(x, 2)
         x = nn.Conv(128, (3, 3), use_bias=False)(x)
         x = nn.BatchNorm(use_running_average=not train)(x)
-        x = nn.gelu(x)
+        x = gelu_exact(x)
         x = nn.Conv(self.out_ch, (1, 1))(x)
         return self.final_act(x)
 
@@ -65,7 +69,10 @@ class BevEncode(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         """x: (B, X, Y, C) BEV features -> dict of (B, X, Y, out_ch) maps."""
-        h = nn.Conv(64, (7, 7), strides=(2, 2), use_bias=False)(x)
+        # symmetric padding=3 like the reference conv1 (lss.py:106) — flax
+        # 'SAME' at stride 2 would pad (2, 3) and shift every window
+        h = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False)(x)
         h = nn.BatchNorm(use_running_average=not train)(h)
         h = nn.relu(h)
 

@@ -9,17 +9,26 @@ sampling).
 
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["ScaledTanh", "Up", "ConvBNAct", "upsample_align_corners", "swish"]
+__all__ = ["ScaledTanh", "Up", "ConvBNAct", "upsample_align_corners", "swish",
+           "gelu_exact"]
 
 
 def swish(x):
     return x * nn.sigmoid(x)
+
+
+# torch nn.GELU defaults to the EXACT erf form (reference Up/head blocks,
+# lss.py:39-41,118); jax/flax nn.gelu defaults to the tanh approximation —
+# pin the exact form for parity.
+gelu_exact = functools.partial(jax.nn.gelu, approximate=False)
 
 
 def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
@@ -58,7 +67,7 @@ class ScaledTanh(nn.Module):
 class ConvBNAct(nn.Module):
     features: int
     kernel: int = 3
-    act: Callable = nn.gelu
+    act: Callable = gelu_exact
 
     @nn.compact
     def __call__(self, x, train: bool = False):

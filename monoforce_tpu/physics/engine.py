@@ -6,9 +6,12 @@ monoforce/src/monoforce/models/traj_predictor/dphysics.py):
 
 - the per-step physics (``forward_kinematics``) is a pure function of
   (robot, terrain, state, control, joint_angles) for a SINGLE trajectory,
-- time integration is a ``jax.lax.scan`` (the reference's explicit euler loop,
-  dphysics.py:467-497, is the parity target; there is no odeint — the scan
-  with euler stepping produces the same semantics),
+- time integration is a ``jax.lax.scan``.  The reference has TWO integrators
+  and both are golden-gated here: ``dynamics()`` (semi-implicit euler,
+  dphysics.py:467-497 -> ``rollout``) and its actual DEFAULT
+  ``dynamics_odeint`` (``use_odeint=True``, dphys_config.py:153 ->
+  torchdiffeq fixed-grid explicit euler over the extended state,
+  dphysics.py:499-528 -> ``rollout_odeint``),
 - trajectory batching is ``jax.vmap`` over the scan — this is the north-star
   parallel axis (thousands of sampled control sequences per planning step),
 - data parallelism over devices composes on top via ``jax.sharding``
@@ -48,6 +51,8 @@ __all__ = [
     "DPhysics",
     "rollout",
     "rollout_single",
+    "rollout_odeint",
+    "rollout_single_odeint",
     "inertia_tensor",
     "integrate_rotation",
     "forward_kinematics",
@@ -377,6 +382,94 @@ def rollout_single(robot: RobotModel, z_grid, friction, controls, joint_angles,
     return states, forces, extras
 
 
+def rollout_single_odeint(robot: RobotModel, z_grid, friction, controls,
+                          joint_angles, state0: RigidState, dt=None):
+    """Roll ONE trajectory with the reference's DEFAULT integrator semantics
+    (``use_odeint=True``, dphys_config.py:153): ``torchdiffeq.odeint(
+    method='euler')`` over ``forward_kinematics_extended_state``
+    (dphysics.py:499-528, 191-196) — FULLY-explicit euler, unlike
+    ``rollout_single``'s semi-implicit ``update_state`` (dphysics.py:274-288).
+
+    Reference quirks replicated on purpose:
+    - output row 0 is the INITIAL (settled) state; N-1 integration steps
+      produce rows 1..N-1 (odeint returns the state at every ``ts`` entry),
+    - the effective step is ``ts[k+1]-ts[k]`` from ``linspace(0, T,
+      int(T/dt))`` (dphysics.py:167) — i.e. ``T/(int(T/dt)-1)``, NOT
+      ``cfg.dt``; pass it via ``dt`` (defaults to ``robot.dt`` if None),
+    - the rotation integrates LINEARLY, ``R += dt * [omega]_x R``
+      (the extended-state derivative includes dR; no Rodrigues
+      re-orthonormalization, so R drifts off SO(3)),
+    - the force slots of the extended state are INTEGRATED from zero:
+      ``F_out[k] = sum_{j<k} dt * F(t_j)`` — the "forces" this path returns
+      are running time-integrals (impulses), not instantaneous forces,
+    - the control/joint lookup at grid time ``ts[k]`` resolves to index k
+      (``argmin |t - ts|``, dphysics.py:183).
+
+    Returns (states stacked over N rows, (F_spring_int, F_friction_int)).
+    """
+    if dt is None:
+        dt = robot.dt
+    # settle: place the body at the mean terrain height under its points
+    pts0 = jnp.matmul(robot.points, state0.R.T, precision=_HI) + state0.x
+    z0 = interpolate_grid(z_grid, pts0[:, 0], pts0[:, 1],
+                          robot.d_max, robot.grid_res).mean()
+    state0 = state0._replace(x=state0.x.at[2].set(z0))
+
+    P = robot.points.shape[0]
+    f_zero = jnp.zeros((P, 3), dtype=state0.x.dtype)
+    y0 = (state0.x, state0.xd, state0.R, state0.omega, f_zero, f_zero)
+
+    def step(y, inp):
+        control, joints = inp
+        x, xd, R, omega, fs_acc, ff_acc = y
+        state = RigidState(x, xd, R, omega)
+        (dx, xdd, omega_d), (f_spring, f_friction) = forward_kinematics(
+            robot, z_grid, friction, state, control, joints)
+        dR = jnp.matmul(skew(omega), R, precision=_HI)
+        y_new = (x + dt * dx, xd + dt * xdd, R + dt * dR,
+                 omega + dt * omega_d,
+                 fs_acc + dt * f_spring, ff_acc + dt * f_friction)
+        return y_new, y_new
+
+    # N-1 explicit steps; row 0 of the output is y0 itself.
+    _, ys = lax.scan(step, y0, (controls[:-1], joint_angles[:-1]))
+    out = jax.tree.map(lambda a0, a: jnp.concatenate([a0[None], a]), y0, ys)
+    states = RigidState(out[0], out[1], out[2], out[3])
+    forces = (out[4], out[5])
+
+    # equilibrium sink-in compensation (dphysics.py:586-589) — applied to all
+    # rows including the initial one
+    delta_h = robot.mass * robot.gravity / (robot.stiffness + 1e-6)
+    states = states._replace(x=states.x + states.R[:, :, 2] * delta_h)
+    return states, forces
+
+
+@jax.jit
+def rollout_odeint(robot: RobotModel, z_grid, controls, joint_angles=None,
+                   state0: Optional[RigidState] = None, friction=None,
+                   dt=None):
+    """Batched rollout with the reference's DEFAULT odeint-euler integrator
+    (see ``rollout_single_odeint``).  Same call surface as ``rollout``; the
+    linspace-accurate step ``T/(int(T/dt)-1)`` should be passed as ``dt``
+    (``DPhysics`` does this when ``cfg.use_odeint`` is set).
+
+    Returns (states with (B, N, ...) leaves, (F_spring_int, F_friction_int)).
+    """
+    z_grid = jnp.asarray(z_grid, dtype=jnp.float32)
+    controls = jnp.asarray(controls, dtype=jnp.float32)
+    B, N = controls.shape[0], controls.shape[1]
+    if joint_angles is None:
+        joint_angles = jnp.zeros((B, N, 4), dtype=jnp.float32)
+    if friction is None:
+        friction = jnp.ones_like(z_grid)
+    if state0 is None:
+        state0 = _default_state0(controls)
+    if dt is None:
+        dt = robot.dt
+    fn = functools.partial(rollout_single_odeint, robot, dt=dt)
+    return jax.vmap(fn)(z_grid, friction, controls, joint_angles, state0)
+
+
 def auto_remat_segment(n: int, threshold: int = 64) -> Optional[int]:
     """Pick a remat segment length for an N-step BPTT horizon: the divisor of
     N closest to sqrt(N) (minimizing stored-boundaries + recompute-window
@@ -463,6 +556,16 @@ class DPhysics:
         if joint_angles is not None:
             joint_angles = joint_angles[:, :n_ts]
         state0 = RigidState(*state) if state is not None else None
+        if getattr(self.cfg, "use_odeint", False):
+            # Reference-default integrator (dphys_config.py:153).  Effective
+            # step from the linspace ts grid (dphysics.py:167): the grid has
+            # int(T/dt) points over [0, T], truncation keeps the spacing.
+            n_full = self.cfg.n_sim_steps
+            dt_eff = self.cfg.traj_sim_time / max(n_full - 1, 1)
+            states, forces = rollout_odeint(
+                self.robot, z_grid, controls, joint_angles=joint_angles,
+                state0=state0, friction=friction, dt=dt_eff)
+            return states, forces
         states, forces, extras = rollout(
             self.robot, z_grid, controls, joint_angles=joint_angles,
             state0=state0, friction=friction,

@@ -13,7 +13,11 @@ programs:
         planner_rollout on the terrain estimate -> paths + costs
         WaypointRoute.select (waypoint distance + path cost arbitration)
     every ``control_dt`` seconds:
-        follower_step(pose, selected path) -> (v, w)
+        FollowerController.tick(pose, selected path) -> (v, w, status)
+            [the supervisor wraps the pure control law with the reference
+             path_follower's 10 Hz loop logic (:475-626): clearance-box
+             obstacle check at the carrot, stop -> force-through on
+             timeout, idle backtracking]
         advance the simulator (exact engine semantics) by control_dt
 
 All array programs keep fixed shapes, so each compiles once and the loop
@@ -32,9 +36,8 @@ import numpy as np
 from monoforce_tpu.physics.controls import shooting_controls
 from monoforce_tpu.physics.engine import RigidState, RobotModel
 from monoforce_tpu.physics.fast import fast_rollout, planner_rollout
-from monoforce_tpu.planner.follower import (
-    FollowerCommand, FollowerParams, follower_step,
-)
+from monoforce_tpu.planner.controller import FollowerController
+from monoforce_tpu.planner.follower import FollowerParams
 from monoforce_tpu.planner.selector import WaypointRoute
 from monoforce_tpu.planner.shooting import (
     force_variance_cost, inclination_cost,
@@ -49,6 +52,8 @@ class NavigationResult(NamedTuple):
     commands: np.ndarray     # (T, 2) follower (v, w) commands
     times: np.ndarray        # (T,)
     plans: list              # [(t, paths (B, N, 3), costs (B,), best)]
+    statuses: list = []      # supervisor status per tick ('follow', 'waiting',
+    #                          'force_through', 'backtrack', 'idle', 'done')
 
 
 def _pose_from_state(state: RigidState) -> jnp.ndarray:
@@ -65,6 +70,7 @@ def navigate(cfg, z_grid, waypoints, state0: Optional[RigidState] = None,
              max_time: float = 40.0, cost: str = "force_variance",
              follower_params: FollowerParams = FollowerParams(),
              waypoint_weight: float = 1.0, path_weight: float = 1.0,
+             obstacles=None, controller: Optional[FollowerController] = None,
              key=None, verbose: bool = False) -> NavigationResult:
     """Drive the robot along ``waypoints`` over ``z_grid``.
 
@@ -80,8 +86,18 @@ def navigate(cfg, z_grid, waypoints, state0: Optional[RigidState] = None,
       replan_every / control_dt: planner and follower tick periods.
       cost: 'force_variance' (monoforce_node.py:91) or 'inclination'
         (diff_physics.py:262-266).
+      obstacles: optional (M, 3) obstacle cloud in the terrain frame.  When
+        given, every tick runs the supervisor's clearance-box check at the
+        carrot pose (reference path_follower:282-302 inside its 10 Hz loop
+        :475-626): an obstructed carrot stops the robot ('waiting'), and
+        after ``controller.force_through_after`` seconds it proceeds at the
+        reduced force-through speed cap (:532-547).
+      controller: optional pre-configured FollowerController (timeouts,
+        backtracking parameters); a default one wrapping
+        ``follower_params`` is created if None.
 
-    Returns a NavigationResult (positions at every control tick).
+    Returns a NavigationResult (positions at every control tick, plus the
+    supervisor status per tick).
     """
     robot = RobotModel.from_config(cfg)
     z_grid = jnp.asarray(z_grid, jnp.float32)
@@ -98,9 +114,13 @@ def navigate(cfg, z_grid, waypoints, state0: Optional[RigidState] = None,
                             jnp.zeros((1, 3)))
     state = state0
 
+    if controller is None:
+        controller = FollowerController(follower_params)
+    obstacles = (jnp.asarray(obstacles, jnp.float32)
+                 if obstacles is not None else None)
+
     n_sim = max(1, int(round(control_dt / cfg.dt)))
-    positions, commands, times, plans = [], [], [], []
-    path = None
+    positions, commands, times, plans, statuses = [], [], [], [], []
     t = 0.0
     reached = False
     while t < max_time:
@@ -109,7 +129,7 @@ def navigate(cfg, z_grid, waypoints, state0: Optional[RigidState] = None,
             reached = True
             break
 
-        if path is None or (len(times) % max(1, int(round(
+        if controller.path is None or (len(times) % max(1, int(round(
                 replan_every / control_dt)))) == 0:
             key, sub = jax.random.split(key)
             controls, _ = shooting_controls(
@@ -135,10 +155,11 @@ def navigate(cfg, z_grid, waypoints, state0: Optional[RigidState] = None,
                 idx = jnp.minimum(jnp.arange(M), trunc)
                 path = path[idx]
             plans.append((t, np.asarray(states.x), np.asarray(costs), best))
+            controller.set_path(path)
 
-        cmd: FollowerCommand = follower_step(_pose_from_state(state), path,
-                                             follower_params)
-        v, w = float(cmd.linear), float(cmd.angular)
+        v, w, status = controller.tick(np.asarray(_pose_from_state(state)),
+                                       t, cloud=obstacles)
+        statuses.append(status)
         sim_controls = jnp.full((1, n_sim, 2), 0.0).at[..., 0].set(v) \
                                                    .at[..., 1].set(w)
         sim_states, _ = fast_rollout(robot, z_true[None], sim_controls,
@@ -155,4 +176,5 @@ def navigate(cfg, z_grid, waypoints, state0: Optional[RigidState] = None,
                   f"wp={route.wp_i}/{len(route.waypoints)}")
 
     return NavigationResult(reached, np.asarray(positions),
-                            np.asarray(commands), np.asarray(times), plans)
+                            np.asarray(commands), np.asarray(times), plans,
+                            statuses)

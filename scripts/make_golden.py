@@ -9,10 +9,14 @@ trajectories as ``tests/golden/*.npz``.  ``tests/test_golden.py`` then gates
 upgrading every parity claim from "my oracle agrees with me" to "the
 reference agrees with me".
 
-The reference module imports ``torchdiffeq`` and ``open3d`` at top level;
-neither is installed and neither is on the parity path (euler ``dynamics()``
-never calls odeint; the mesh loader is replaced by our procedural clouds),
-so both are stubbed in ``sys.modules`` before import.
+Two integrator families are driven, because the reference has two:
+``dynamics()`` (semi-implicit euler, dphysics.py:467-497 — the path its
+``integration_mode='euler'`` naming suggests) and the actual DEFAULT
+``dynamics_odeint`` (``use_odeint=True`` per dphys_config.py:153 —
+fully-explicit euler over the extended state via torchdiffeq,
+dphysics.py:499-528).  torchdiffeq and open3d are not installed:
+``ref_loader`` stubs open3d (mesh loader replaced by our procedural clouds)
+and substitutes an exact fixed-grid euler shim for ``torchdiffeq.odeint``.
 
 Usage:  python scripts/make_golden.py  [--out tests/golden]
 """
@@ -163,6 +167,66 @@ def main():
                 sz = os.path.getsize(path) / 1e6
                 print(f"wrote {path}  Xs={Xs.shape}  ({sz:.2f} MB)")
                 cases.append(name)
+
+    # ------------------------------------------------------------------
+    # The reference's DEFAULT integrator: use_odeint=True (dphys_config.py:153)
+    # -> dynamics_odeint (dphysics.py:499-528): torchdiffeq.odeint(method=
+    # 'euler') over forward_kinematics_extended_state — FULLY-explicit Euler
+    # on the ts grid (torchdiffeq is stubbed by ref_loader with an exact
+    # fixed-grid euler shim).  Quirks captured by these cases: output row 0
+    # is the initial state; the effective step is T/(int(T/dt)-1) from
+    # linspace (dphysics.py:167), not cfg.dt; R integrates LINEARLY
+    # (R += dt*[w]x R, drifting off SO(3)); and the force slots are
+    # INTEGRATED (F_out[k] = sum_{j<k} dt*F(t_j)), not instantaneous.
+    # ------------------------------------------------------------------
+    for robot, tname in [("tradr", "flat"), ("tradr", "hill"),
+                         ("tradr", "sine"), ("marv", "hill")]:
+        cfg = ref_cfg_mod.DPhysConfig(robot=robot)
+        cfg.use_odeint = True            # the reference DEFAULT path
+        cfg.integration_mode = "euler"
+        engine = ref_dphys_mod.DPhysics(cfg, device="cpu")
+
+        x_grid = cfg.x_grid.numpy()
+        y_grid = cfg.y_grid.numpy()
+        z = make_terrains(x_grid, y_grid)[tname]
+        n_ts = int(cfg.traj_sim_time / cfg.dt)
+        controls = make_controls(n_ts, cfg.dt)
+        B = controls.shape[0]
+        joint_angles = (make_joint_angles(n_ts, cfg.dt, B)
+                        if robot == "marv" else None)
+
+        z_t = torch.as_tensor(z)[None].repeat(B, 1, 1)
+        ctrl_t = torch.as_tensor(controls)
+        ja_t = (torch.as_tensor(joint_angles)
+                if joint_angles is not None else None)
+        with torch.no_grad():
+            states, forces = engine.dphysics(
+                z_grid=z_t, controls=ctrl_t, joint_angles=ja_t)
+        Xs, Xds, Rs, Omegas = [s.numpy() for s in states]
+        F_spring, F_friction = [f.numpy() for f in forces]
+        name = f"{robot}_{tname}_odeint"
+        path = os.path.join(args.out, name + ".npz")
+        np.savez_compressed(
+            path,
+            robot=robot,
+            odeint=np.array(1),
+            robot_points=cfg.robot_points.numpy().astype(np.float32),
+            z_grid=z.astype(np.float32),
+            friction=np.array([]),
+            controls=controls,
+            joint_angles=(joint_angles if joint_angles is not None
+                          else np.array([])),
+            Xs=Xs.astype(np.float32),
+            Xds=Xds.astype(np.float32),
+            Rs=Rs.astype(np.float32),
+            Omegas=Omegas.astype(np.float32),
+            F_spring=F_spring[:, ::FORCE_STRIDE].astype(np.float32),
+            F_friction=F_friction[:, ::FORCE_STRIDE].astype(np.float32),
+            force_stride=FORCE_STRIDE,
+        )
+        sz = os.path.getsize(path) / 1e6
+        print(f"wrote {path}  Xs={Xs.shape}  ({sz:.2f} MB)")
+        cases.append(name)
 
     print(f"\n{len(cases)} golden cases: {cases}")
 

@@ -12,6 +12,17 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Import torch BEFORE jax, deliberately.  Several test modules import torch
+# mid-session for head-to-head parity against the reference; loading torch's
+# shared libraries (libstdc++/libgomp/MKL) AFTER XLA's once made XLA's
+# backend_compile SIGSEGV near the end of a full-suite run (reproducible at
+# tests/test_trainer.py::test_prediction_figure_logged, VERDICT round 2 #1)
+# while every module passed standalone.  Pre-importing torch pins the symbol
+# resolution order torch-first for every test session, whichever subset runs.
+import torch  # noqa: E402  (import order is the fix, see above)
+
+torch.set_num_threads(1)  # keep torch's OpenMP pool out of XLA's way
+
 import jax  # noqa: E402
 
 # The environment's axon TPU plugin (sitecustomize) overrides JAX_PLATFORMS

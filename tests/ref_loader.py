@@ -45,10 +45,34 @@ def _stub_torchvision():
     sys.modules["torchvision.models.resnet"] = resnet_mod
 
 
+def _odeint_euler_shim(func, y0, t, rtol=None, atol=None, method="euler",
+                       options=None):
+    """Fixed-grid explicit-Euler stand-in for ``torchdiffeq.odeint`` (not
+    installed here), matching its ``method='euler'`` semantics exactly: with
+    no ``step_size`` option the solver steps on the ``t`` grid itself,
+    ``y_{k+1} = y_k + (t_{k+1}-t_k) * f(t_k, y_k)`` (torchdiffeq
+    ``FixedGridODESolver.integrate`` + ``Euler._step_func``), and the output
+    row 0 is the initial state.  Tuple states are supported the way the
+    reference uses them (``dphysics.py:505-513``): a tuple in, a tuple of
+    time-stacked tensors out."""
+    import torch
+
+    assert method == "euler", f"shim only implements euler, got {method!r}"
+    y = tuple(y0)
+    ys = [y]
+    for k in range(len(t) - 1):
+        dt = t[k + 1] - t[k]
+        dy = func(t[k], y)
+        y = tuple(yi + dt * dyi for yi, dyi in zip(y, dy))
+        ys.append(y)
+    return tuple(torch.stack([ys[k][i] for k in range(len(t))], dim=0)
+                 for i in range(len(y0)))
+
+
 def _stub_misc():
     if "torchdiffeq" not in sys.modules:
         m = types.ModuleType("torchdiffeq")
-        m.odeint = None
+        m.odeint = _odeint_euler_shim
         sys.modules["torchdiffeq"] = m
     if "open3d" not in sys.modules:
         m = types.ModuleType("open3d")

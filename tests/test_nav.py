@@ -190,6 +190,38 @@ def test_gridmap_roundtrip_and_start_indices():
     np.testing.assert_allclose(pts[:, 2].mean(), hm.mean(), atol=1e-5)
 
 
+def test_closed_loop_navigation_with_obstruction():
+    """The supervisor runs INSIDE the closed loop (reference path_follower
+    runs its clearance / stuck / force-through logic inside the 10 Hz
+    control loop, path_follower:475-626): an obstacle cloud on the route
+    obstructs the carrot -> the robot stops ('waiting'), force-through
+    engages after the timeout at the reduced speed cap, and the route still
+    completes."""
+    import jax.numpy as jnp
+
+    from monoforce_tpu.config import PhysicsConfig
+    from monoforce_tpu.planner.navigator import navigate
+
+    cfg = PhysicsConfig.for_planner("tradr")
+    z = jnp.zeros(cfg.grid_shape, jnp.float32)
+    rng = np.random.default_rng(3)
+    obstacles = (np.array([[1.1, 0.0, 0.1]], np.float32)
+                 + rng.normal(scale=0.05, size=(30, 3)).astype(np.float32))
+    ctl = FollowerController(FollowerParams(), force_through_after=0.5)
+    res = navigate(cfg, z, waypoints=np.asarray([[2.8, 0.0, 0.0]]),
+                   n_trajs=8, plan_horizon=1.5, max_time=30.0,
+                   obstacles=obstacles, controller=ctl)
+    assert "waiting" in res.statuses          # the obstruction stopped it
+    assert "force_through" in res.statuses    # then it pushed through
+    assert res.reached, (res.positions[-1], res.statuses[-5:])
+    # while waiting the robot stood still; while forcing through it crept
+    waiting = [i for i, s in enumerate(res.statuses) if s == "waiting"]
+    assert all(abs(res.commands[i][0]) < 1e-6 for i in waiting)
+    forcing = [i for i, s in enumerate(res.statuses) if s == "force_through"]
+    assert all(abs(res.commands[i][0]) <= ctl.max_force_through_speed + 1e-6
+               for i in forcing)
+
+
 def test_closed_loop_navigation():
     """The full L2-L8 loop (plan -> select -> follow -> simulate -> replan)
     reaches a waypoint on smooth terrain — the integration the reference

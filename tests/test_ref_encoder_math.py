@@ -251,3 +251,245 @@ def test_lss_config_from_reference_yaml():
             assert got == v, k
     assert tuple(cfg.img_mean) == tuple(raw["img_mean"])
     assert tuple(cfg.img_std) == tuple(raw["img_std"])
+
+
+# ----------------------------------------------- composite module parity --
+# torch.nn replicas of the reference's composite blocks (efficientnet_pytorch
+# MBConvBlock semantics incl. static-SAME padding, torchvision BasicBlock /
+# BevEncode trunk semantics incl. symmetric stride-2 padding), weights ported
+# through monoforce_tpu.models.terrain_encoder.torch_port, outputs compared
+# head-to-head at fp32 — the composite-level link of the .pth port chain.
+
+def _randomize_bn(mod, rng_seed):
+    """Non-trivial BN affine + running stats so eval BN actually transforms."""
+    g = torch.Generator().manual_seed(rng_seed)
+    for m in mod.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            with torch.no_grad():
+                m.weight.uniform_(0.5, 1.5, generator=g)
+                m.bias.uniform_(-0.3, 0.3, generator=g)
+                m.running_mean.uniform_(-0.5, 0.5, generator=g)
+                m.running_var.uniform_(0.5, 1.5, generator=g)
+
+
+class _TorchMBConv(torch.nn.Module):
+    """efficientnet_pytorch MBConvBlock (model.py: expand -> static-SAME
+    depthwise -> SE (squeeze on INPUT filters) -> project, swish, BN eps
+    1e-3; identity skip when stride==1 and in==out; drop-connect is identity
+    in eval).  Submodule names follow the checkpoint layout so torch_port's
+    ``_mbconv`` ports the state_dict directly."""
+
+    def __init__(self, in_ch, out_ch, k, stride, expand):
+        super().__init__()
+        tnn = torch.nn
+        self.k, self.stride, self.expand = k, stride, expand
+        self.in_ch, self.out_ch = in_ch, out_ch
+        mid = in_ch * expand
+        if expand != 1:
+            self._expand_conv = tnn.Conv2d(in_ch, mid, 1, bias=False)
+            self._bn0 = tnn.BatchNorm2d(mid, eps=1e-3)
+        self._depthwise_conv = tnn.Conv2d(mid, mid, k, stride=stride,
+                                          groups=mid, bias=False)
+        self._bn1 = tnn.BatchNorm2d(mid, eps=1e-3)
+        se_ch = max(1, int(in_ch * 0.25))
+        self._se_reduce = tnn.Conv2d(mid, se_ch, 1)
+        self._se_expand = tnn.Conv2d(se_ch, mid, 1)
+        self._project_conv = tnn.Conv2d(mid, out_ch, 1, bias=False)
+        self._bn2 = tnn.BatchNorm2d(out_ch, eps=1e-3)
+
+    @staticmethod
+    def _static_same_pad(x, k, s):
+        """TF-style SAME (Conv2dStaticSamePadding): total pad splits with the
+        EXTRA pixel on the right/bottom."""
+        import math
+        import torch.nn.functional as F
+        ih, iw = x.shape[-2:]
+        ph = max((math.ceil(ih / s) - 1) * s + k - ih, 0)
+        pw = max((math.ceil(iw / s) - 1) * s + k - iw, 0)
+        return F.pad(x, [pw // 2, pw - pw // 2, ph // 2, ph - ph // 2])
+
+    def forward(self, x):
+        import torch.nn.functional as F
+        sw = lambda t: t * torch.sigmoid(t)  # noqa: E731
+        h = x
+        if self.expand != 1:
+            h = sw(self._bn0(self._expand_conv(h)))
+        h = self._static_same_pad(h, self.k, self.stride)
+        h = sw(self._bn1(self._depthwise_conv(h)))
+        se = F.adaptive_avg_pool2d(h, 1)
+        se = self._se_expand(sw(self._se_reduce(se)))
+        h = torch.sigmoid(se) * h
+        h = self._bn2(self._project_conv(h))
+        if self.stride == 1 and self.in_ch == self.out_ch:
+            h = h + x
+        return h
+
+
+@pytest.mark.parametrize("in_ch,out_ch,k,stride,expand", [
+    (16, 24, 3, 2, 6),   # stride-2: asymmetric static-SAME padding
+    (24, 24, 5, 1, 6),   # identity skip + 5x5 depthwise
+    (32, 16, 3, 1, 1),   # block-0 style: no expand conv
+])
+def test_mbconv_composite_matches_torch(in_ch, out_ch, k, stride, expand):
+    from monoforce_tpu.models.terrain_encoder.efficientnet import MBConv
+    from monoforce_tpu.models.terrain_encoder.torch_port import _mbconv
+
+    torch.manual_seed(in_ch)
+    blk = _TorchMBConv(in_ch, out_ch, k, stride, expand)
+    _randomize_bn(blk, in_ch)
+    blk.eval()
+    sd = {f"blk.{n}": t for n, t in blk.state_dict().items()}
+    p, s = _mbconv(sd, "blk", expand)
+
+    x = np.random.default_rng(7).normal(
+        size=(2, in_ch, 17, 23)).astype(np.float32)  # odd sizes stress SAME
+    with torch.no_grad():
+        y_t = blk(torch.from_numpy(x)).numpy()
+    y_f = MBConv(out_ch, k, stride, expand).apply(
+        {"params": p, "batch_stats": s},
+        jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(y_f).transpose(0, 3, 1, 2), y_t,
+                               rtol=1e-4, atol=1e-4)
+
+
+class _TorchBasicBlock(torch.nn.Module):
+    """torchvision.models.resnet.BasicBlock semantics: symmetric padding=1
+    3x3 convs (also at stride 2), optional 1x1 downsample projection."""
+
+    def __init__(self, in_ch, out_ch, stride):
+        super().__init__()
+        tnn = torch.nn
+        self.conv1 = tnn.Conv2d(in_ch, out_ch, 3, stride=stride, padding=1,
+                                bias=False)
+        self.bn1 = tnn.BatchNorm2d(out_ch)
+        self.conv2 = tnn.Conv2d(out_ch, out_ch, 3, padding=1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(out_ch)
+        self.downsample = None
+        if stride != 1 or in_ch != out_ch:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(in_ch, out_ch, 1, stride=stride, bias=False),
+                tnn.BatchNorm2d(out_ch))
+
+    def forward(self, x):
+        import torch.nn.functional as F
+        identity = x if self.downsample is None else self.downsample(x)
+        h = F.relu(self.bn1(self.conv1(x)))
+        h = self.bn2(self.conv2(h))
+        return F.relu(h + identity)
+
+
+@pytest.mark.parametrize("in_ch,out_ch,stride", [
+    (64, 64, 1),    # layer1-style identity block
+    (64, 128, 2),   # layer2.0-style downsampling block
+])
+def test_basic_block_composite_matches_torch(in_ch, out_ch, stride):
+    from monoforce_tpu.models.terrain_encoder.bev import BasicBlock
+    from monoforce_tpu.models.terrain_encoder.torch_port import _basic_block
+
+    torch.manual_seed(out_ch)
+    blk = _TorchBasicBlock(in_ch, out_ch, stride)
+    _randomize_bn(blk, out_ch)
+    blk.eval()
+    sd = {f"b.{n}": t for n, t in blk.state_dict().items()}
+    p, s = _basic_block(sd, "b", downsample=blk.downsample is not None)
+
+    x = np.random.default_rng(11).normal(
+        size=(2, in_ch, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        y_t = blk(torch.from_numpy(x)).numpy()
+    y_f = BasicBlock(out_ch, stride=stride).apply(
+        {"params": p, "batch_stats": s},
+        jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(y_f).transpose(0, 3, 1, 2), y_t,
+                               rtol=1e-4, atol=1e-4)
+
+
+class _TorchBevEncode(torch.nn.Module):
+    """Full reference BevEncode (lss.py:101-165) rebuilt from plain torch.nn
+    (torchvision is stubbed here): conv1 7x7/s2/p3, resnet18 layers 1-3 from
+    _TorchBasicBlock, Up(scale=4) with align-corners bilinear + conv/BN/GELU
+    pairs, and the three heads with ScaledTanh / ReLU finals.  Module names
+    follow the reference state_dict layout for torch_port's ``_bevencode``."""
+
+    def __init__(self, in_ch=64, out_ch=1):
+        super().__init__()
+        tnn = torch.nn
+        self.conv1 = tnn.Conv2d(in_ch, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.layer1 = tnn.Sequential(_TorchBasicBlock(64, 64, 1),
+                                     _TorchBasicBlock(64, 64, 1))
+        self.layer2 = tnn.Sequential(_TorchBasicBlock(64, 128, 2),
+                                     _TorchBasicBlock(128, 128, 1))
+        self.layer3 = tnn.Sequential(_TorchBasicBlock(128, 256, 2),
+                                     _TorchBasicBlock(256, 256, 1))
+
+        class _Up(tnn.Module):
+            def __init__(self, cin, cout, scale):
+                super().__init__()
+                self.up = tnn.Upsample(scale_factor=scale, mode="bilinear",
+                                       align_corners=True)
+                self.conv = tnn.Sequential(
+                    tnn.Conv2d(cin, cout, 3, padding=1, bias=False),
+                    tnn.BatchNorm2d(cout), tnn.GELU(),
+                    tnn.Conv2d(cout, cout, 3, padding=1, bias=False),
+                    tnn.BatchNorm2d(cout), tnn.GELU())
+
+            def forward(self, x1, x2):
+                return self.conv(torch.cat([x2, self.up(x1)], dim=1))
+
+        self.up1 = _Up(64 + 256, 256, 4)
+
+        def head(final):
+            return tnn.Sequential(
+                tnn.Upsample(scale_factor=2, mode="bilinear",
+                             align_corners=True),
+                tnn.Conv2d(256, 128, 3, padding=1, bias=False),
+                tnn.BatchNorm2d(128), tnn.GELU(),
+                tnn.Conv2d(128, out_ch, 1), final)
+
+        class _ScaledTanh(tnn.Module):
+            def forward(self, x):
+                return -1.0 + 2.0 * (torch.tanh(x) + 1) / 2
+
+        self.up_geom = head(_ScaledTanh())
+        self.up_diff = head(tnn.ReLU())
+        self.up_friction = head(tnn.ReLU())
+
+    def forward(self, x):
+        import torch.nn.functional as F
+        h = F.relu(self.bn1(self.conv1(x)))
+        x1 = self.layer1(h)
+        h = self.layer3(self.layer2(x1))
+        h = self.up1(h, x1)
+        geom = self.up_geom(h)
+        diff = self.up_diff(h)
+        return {"geom": geom, "terrain": geom - diff, "diff": diff,
+                "friction": self.up_friction(h)}
+
+
+def test_bevencode_composite_matches_torch():
+    """End-to-end BevEncode: a full torchvision-semantics replica vs the flax
+    module with weights ported by torch_port._bevencode — covers the
+    symmetric stride-2 paddings, align-corners upsampling, exact GELU,
+    ScaledTanh and terrain = geom - diff in one composite graph."""
+    from monoforce_tpu.models.terrain_encoder.bev import BevEncode
+    from monoforce_tpu.models.terrain_encoder.torch_port import _bevencode
+
+    torch.manual_seed(42)
+    ref = _TorchBevEncode(in_ch=64, out_ch=1)
+    _randomize_bn(ref, 42)
+    ref.eval()
+    sd = {f"bevencode.{n}": t for n, t in ref.state_dict().items()}
+    p, s = _bevencode(sd, "bevencode")
+
+    x = np.random.default_rng(13).normal(
+        size=(1, 64, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        out_t = ref(torch.from_numpy(x))
+    out_f = BevEncode(out_ch=1).apply(
+        {"params": p, "batch_stats": s},
+        jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    for key in ("geom", "diff", "terrain", "friction"):
+        np.testing.assert_allclose(
+            np.asarray(out_f[key]).transpose(0, 3, 1, 2),
+            out_t[key].numpy(), rtol=1e-4, atol=1e-4, err_msg=key)

@@ -17,6 +17,17 @@ the reference's own 0.1 m voxel choice).
 Target: < 10 ms per 4096x100 batch.  ``vs_baseline`` = target_ms / measured_ms
 (values > 1 beat the target).
 
+Emits TWO JSON lines (VERDICT r2 #3): first the REFERENCE-RESOLUTION preset
+(voxel 0.1 m, 148 contact points — the reference's own contact cloud,
+dphys_config.py:8-35; runs the packed single-trajectory kernel, two
+registers of per-point planes per trajectory), then the headline
+serving-preset line (voxel 0.15 m pair mode) LAST so the driver's parsed
+metric stays the headline.  The reference-resolution preset cannot reach
+10 ms on this chip: its per-point f32 math alone floors at ~16 ms
+(docs/PERFORMANCE.md roofline — 145 elementwise plane ops x 256 lanes x
+4096 trajs x 100 steps at ~1024 f32/cycle); its vs_baseline is reported
+against the same 10 ms target for honesty, not as a pass/fail bar.
+
 Measures SUSTAINED latency: ``REPS`` consecutive shooting batches inside one
 jitted program (the continuous-planning serving pattern), one host sync at
 the end.  The axon test harness has a ~32 ms fixed dispatch floor per host
@@ -57,10 +68,9 @@ OUTER = int(os.environ.get("BENCH_OUTER", 3))
 
 
 
-def main():
-    # serving-grade preset: P<=64 contact points engage trajectory-pair
-    # register packing (docs/PERFORMANCE.md "pair mode"; trades test-gated)
-    cfg = PhysicsConfig.for_planner("tradr")
+def _measure(cfg):
+    """Sustained ms per B_TOTAL x N_STEPS shooting batch for one contact
+    preset (REPS batches inside one jitted program, best of OUTER syncs)."""
     robot = RobotModel.from_config(cfg)
 
     # gaussian-hill terrain shared across the shooting batch (the online
@@ -89,8 +99,27 @@ def main():
         t0 = time.perf_counter()
         np.asarray(shoot_many(z, controls))
         times.append(time.perf_counter() - t0)
-    ms = float(np.min(times) * 1e3 / REPS)
+    return float(np.min(times) * 1e3 / REPS)
 
+
+def main():
+    # the REFERENCE's own contact resolution (voxel 0.1 m, 148 points for
+    # tradr, dphys_config.py:8-35): packed single-trajectory kernel, two
+    # registers of per-point planes — reported first (the headline line must
+    # come LAST for the driver's parser)
+    ms_ref = _measure(PhysicsConfig(robot="tradr", mesh_voxel_size=0.1))
+    print(json.dumps({
+        "metric": (f"shooting_rollout_{B_TOTAL}x{N_STEPS}"
+                   "_reference_resolution_preset"),
+        "value": round(ms_ref, 3),
+        "unit": "ms",
+        "vs_baseline": round(TARGET_MS / ms_ref, 3),
+    }))
+
+    # headline: serving-grade preset, P<=64 contact points engage
+    # trajectory-pair register packing (docs/PERFORMANCE.md "pair mode";
+    # trades test-gated)
+    ms = _measure(PhysicsConfig.for_planner("tradr"))
     print(json.dumps({
         "metric": f"shooting_rollout_{B_TOTAL}x{N_STEPS}_sustained_latency",
         "value": round(ms, 3),

@@ -45,10 +45,22 @@ from jax.experimental.pallas import tpu as pltpu
 from monoforce_tpu.ops.interp_pallas import (TAP_OFFSETS, _block_rows,
                                              _gather128)
 
-__all__ = ["fk_step", "fk_step_pair", "pack_consts", "pack_points",
-           "pack_points_pair"]
+__all__ = ["fk_step", "fk_step_pair", "fk_step_packed", "pack_consts",
+           "pack_points", "pack_points_pair"]
 
 _RB = 512
+
+
+def _gather_lanes(patch, base, it, rb):
+    """Gather from a 256-wide source region into an ``it``-shaped target of
+    width 128 or 256 (idx chunks of 128 lanes each run the 2-segment TALA
+    ladder of ``_gather128``)."""
+    L = it.shape[1]
+    if L == 128:
+        return _gather128(patch, base, it, rb)
+    outs = [_gather128(patch, base, it[:, c * 128:(c + 1) * 128], rb)
+            for c in range(L // 128)]
+    return jnp.concatenate(outs, axis=1)
 
 # cst layout (f32 vector in SMEM)
 _C_DMAX, _C_RES, _C_STIFF, _C_DAMP, _C_MASS, _C_G = range(6)
@@ -99,9 +111,27 @@ def _mxu_reduce(planes, ones_col):
     return outs
 
 
-def _step_math(cst, patch, state, tv, sxy, pts, n_k, gather, reduce_lanes):
+def _unpack_hi(word):
+    """High bf16 half of a packed f32 word, as f32."""
+    ui = lax.bitcast_convert_type(word, jnp.uint32)
+    return lax.bitcast_convert_type(ui & jnp.uint32(0xFFFF0000), jnp.float32)
+
+
+def _unpack_lo(word):
+    """Low bf16 half of a packed f32 word, as f32."""
+    ui = lax.bitcast_convert_type(word, jnp.uint32)
+    return lax.bitcast_convert_type(ui << 16, jnp.float32)
+
+
+def _step_math(cst, patch, state, tv, sxy, pts, n_k, gather, reduce_lanes,
+               packed=False):
     """Per-point step math (jnp ops; runs in-kernel and as the XLA
-    reference).  Returns (B, 8): [ax, ay, az, aw0, aw1, aw2, s_std, n_cp]."""
+    reference).  Returns (B, 8): [ax, ay, az, aw0, aw1, aw2, s_std, n_cp].
+
+    ``packed=True``: ``patch`` is (B, 256) f32 words holding bf16 [z | mu]
+    per cell — the four bilinear taps fetch BOTH height and friction in one
+    gather each (half the tap ladders of the f32 [z(256) | mu(256)] layout;
+    the bf16 quantization is the serving path's documented trade)."""
     d_max = cst[_C_DMAX]
     stiff = cst[_C_STIFF]
     damp = cst[_C_DAMP]
@@ -161,8 +191,13 @@ def _step_math(cst, patch, state, tv, sxy, pts, n_k, gather, reduce_lanes):
     xl = jnp.clip(xi - sx, 0, 14)
     yl = jnp.clip(yi - sy, 0, 14)
     idx = xl * 16 + yl
-    tz = [gather(patch, 0, idx + off) for off in TAP_OFFSETS]
-    tf = [gather(patch, 256, idx + off) for off in TAP_OFFSETS]
+    if packed:
+        tw = [gather(patch, 0, idx + off) for off in TAP_OFFSETS]
+        tz = [_unpack_hi(w) for w in tw]
+        tf = [_unpack_lo(w) for w in tw]
+    else:
+        tz = [gather(patch, 0, idx + off) for off in TAP_OFFSETS]
+        tf = [gather(patch, 256, idx + off) for off in TAP_OFFSETS]
     w_cc = (1 - xf) * (1 - yf)
     w_cf = (1 - xf) * yf
     w_lc = xf * (1 - yf)
@@ -182,7 +217,9 @@ def _step_math(cst, patch, state, tv, sxy, pts, n_k, gather, reduce_lanes):
     vn = vx * nx + vy * ny + vz * nz
     scale = -(stiff * dh + damp * vn)
     (n_cp,) = reduce_lanes([contact])
-    cs = scale * contact / n_cp
+    # guard the reference's unguarded 0/0 at exactly-zero contact (see
+    # physics/fast.py) — n_cp stays the raw sum in the stats output
+    cs = scale * contact / jnp.maximum(n_cp, 1e-20)
     mg = m * g
     fsx = jnp.clip(cs * nx, -mg, mg)
     fsy = jnp.clip(cs * ny, -mg, mg)
@@ -317,6 +354,83 @@ def _fks_bwd(res, g):
 fk_step.defvjp(_fks_fwd, _fks_bwd)
 
 
+# ------------------------------------------------------ packed single mode
+#
+# Serving variant for contact presets with 64 < P <= 256 points (the
+# reference's own 0.1 m voxel preset is 138-202 points): ONE trajectory per
+# row, per-point planes up to (RB, 256) (two registers), with the pair
+# mode's bf16 [z | mu] packed tap words — four gathers fetch BOTH height
+# and friction (the f32 layout needs eight), and the window extraction
+# produces half the bytes.  Unlike pair mode, friction keeps the exact
+# reference bilinear weights (both halves ride the same four taps).
+
+
+def _fk_packed_kernel(cst_ref, patch_ref, state_ref, tv_ref, sxy_ref,
+                      pts_ref, ones_ref, out_ref):
+    patch = patch_ref[:]
+    rb = patch.shape[0]
+    ones_col = ones_ref[:]
+    out_ref[:] = _step_math(
+        cst_ref, patch, state_ref[:], tv_ref[:], sxy_ref[:], pts_ref[:],
+        n_k=4,
+        gather=lambda p, b, it: _gather_lanes(p, b, it, rb),
+        reduce_lanes=lambda planes: _mxu_reduce(planes, ones_col),
+        packed=True)
+
+
+def _fk_step_packed_xla(cst, patch, state, tv, sxy, pts):
+    def gather(p, base, it):
+        return jnp.take_along_axis(p[:, base:base + 256],
+                                   jnp.clip(it, 0, 255), axis=1)
+
+    def reduce_lanes(planes):
+        return [jnp.sum(p, axis=1, keepdims=True) for p in planes]
+
+    return _step_math(cst, patch, state, tv, sxy, pts, n_k=4,
+                      gather=gather, reduce_lanes=reduce_lanes, packed=True)
+
+
+def _fk_step_packed_pallas(cst, patch, state, tv, sxy, pts, rb):
+    B = patch.shape[0]
+    pw = pts.shape[1]
+    ones_col = jnp.ones((pw, 8), jnp.float32)
+    return pl.pallas_call(
+        _fk_packed_kernel,
+        grid=(B // rb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((rb, 256), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 18), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, pw), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((pw, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rb, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 8), jnp.float32),
+    )(cst, patch, state, tv, sxy, pts, ones_col)
+
+
+def fk_step_packed(cst, patch, state, tv, sxy, pts):
+    """Per-point forward kinematics on bf16 [z|mu] packed windows, reduced
+    in-VMEM to (B, 8) — the serving step for 64 < P <= 256 contact presets
+    (forward-only; the shooting planner never differentiates this path).
+
+    cst: (18,) (pack_consts); patch: (B, 256) packed window words
+    (physics.fast._extract_windows_packed1); state: (B, 18); tv: (B, 8);
+    sxy: (B, 2); pts: (8, PW) (pack_points) with PW in {128, 256}.
+    Returns (B, 8): [ax, ay, az, aw0, aw1, aw2, spring_std, n_contacts].
+    """
+    pw = pts.shape[1]
+    rb = _block_rows(patch.shape[0])
+    if jax.default_backend() == "tpu" and rb and pw in (128, 256):
+        if pw == 256 and rb > 256:
+            rb = 256  # half the rows at two registers/row keeps VMEM flat
+        return _fk_step_packed_pallas(cst, patch, state, tv, sxy, pts, rb)
+    return _fk_step_packed_xla(cst, patch, state, tv, sxy, pts)
+
+
 # --------------------------------------------------------------- pair mode
 #
 # Serving-grade variant for contact presets with P <= 64 points: TWO
@@ -438,7 +552,8 @@ def _step_math_pair(cst, patch, state2, tv2, sxy2, pts, n_k, gather2,
     scale = -(stiff * dh + damp * vn)
     ((ncp_a, ncp_b),) = reduce_halves([contact])
     n_cp = jnp.where(hs, ncp_a, ncp_b)
-    cs = scale * contact / n_cp
+    # same exactly-zero-contact guard as _step_math / physics/fast.py
+    cs = scale * contact / jnp.maximum(n_cp, 1e-20)
     mg = m * g
     fsx = jnp.clip(cs * nx, -mg, mg)
     fsy = jnp.clip(cs * ny, -mg, mg)

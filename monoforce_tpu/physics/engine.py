@@ -251,7 +251,13 @@ def forward_kinematics(robot: RobotModel, z_grid, friction,
     vn = jnp.sum(xd_pts * n, axis=-1)
     f_spring = -(robot.stiffness * dh + robot.damping * vn)[:, None] * n
     n_contacts = jnp.sum(in_contact)
-    f_spring = f_spring * in_contact[:, None] / n_contacts
+    # the reference divides unguarded (dphysics.py:231-232): when the body
+    # sits > ~8.9 m above the terrain, sigmoid underflows to exactly 0 for
+    # every point and the reference NaNs (then crashes on the NaN loss,
+    # train.py:161-163).  Garbage early-training terrain predictions reach
+    # that regime; the eps only changes the exact-0 case (no contact -> no
+    # force) and is far below any non-underflowed contact sum.
+    f_spring = f_spring * in_contact[:, None] / jnp.maximum(n_contacts, 1e-20)
     f_spring = jnp.clip(f_spring, -m * g, m * g)
 
     # velocity-based Coulomb-style friction (dphysics.py:236-252)

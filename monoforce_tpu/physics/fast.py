@@ -40,10 +40,14 @@ Two rollouts live here (docs/PERFORMANCE.md has the measurement story):
 - :func:`planner_rollout` — the forward-only SERVING path: the whole
   per-point step runs in one Pallas kernel reducing to eight (B,) planes in
   VMEM (`ops/fk_step_pallas.py`), integration is vectorized over the packed
-  (B, 18) carry, and P <= 64 contact presets pack TWO trajectories per
-  128-lane register row with bf16 [z|mu] pair tap words (measured, gated
-  accuracy trades).  This is the headline-benchmark path (9.3 ms sustained
-  for 4096 x 100 steps on one v5e chip).
+  carry, and bf16 [z|mu] packed tap words fetch height AND friction in four
+  gathers.  P <= 64 contact presets pack TWO trajectories per 128-lane
+  register row (pair mode; the carry stays in the (B/2, 36) pair layout —
+  no per-step relayouts); 64 < P <= 256 presets — including the reference's
+  own 0.1 m voxel resolution — run one trajectory per row over up to two
+  registers of per-point planes (packed single mode).  All trades are
+  measured and gated.  This is the headline-benchmark path (<10 ms
+  sustained for 4096 x 100 steps on one v5e chip at the serving preset).
 
 Equivalence to the exact path: in-bounds queries produce identical taps and
 identical arithmetic; behavior differs from the reference's flat-index clamp
@@ -164,6 +168,41 @@ def _extract_windows_packed(z_grid, friction, qx, qy, d_max, grid_res):
     patch2 = jnp.concatenate([pair_words(pz), pair_words(pf)], axis=1)
     sxy = jnp.stack([sx, sy], axis=1).astype(jnp.float32)
     return sxy, patch2
+
+
+def _extract_windows_packed1(z_grid, friction, qx, qy, d_max, grid_res):
+    """Window extraction producing bf16 [z | mu] packed words for ONE
+    trajectory per row: (B, 256) f32 words (vs the exact layout's (B, 512)
+    f32) — half the extraction bytes, and the step kernel's four bilinear
+    taps then fetch BOTH quantities per gather (fk_step_packed).  Same bf16
+    selection trick as the pair extractor: grids pre-cast to bf16 make the
+    DEFAULT-precision one-hot einsums exact."""
+    H, W = z_grid.shape[-2:]
+    B = qx.shape[0]
+    xi = ((qx + d_max) / grid_res).astype(jnp.int32)
+    yi = ((qy + d_max) / grid_res).astype(jnp.int32)
+    sx = jnp.clip(jnp.min(xi, axis=1) - 2, 0, H - _PATCH)
+    sy = jnp.clip(jnp.min(yi, axis=1) - 2, 0, W - _PATCH)
+
+    rows = sx[:, None] + jnp.arange(_PATCH)
+    cols = sy[:, None] + jnp.arange(_PATCH)
+    oh_cols = jax.nn.one_hot(cols, W, dtype=jnp.bfloat16)
+    gg = jnp.concatenate([z_grid, friction], axis=-1).astype(jnp.bfloat16)
+    oh_rows = jax.nn.one_hot(rows, H, dtype=jnp.bfloat16)
+    kw = dict(preferred_element_type=jnp.float32)
+    if gg.ndim == 2:
+        rows_sel = jnp.einsum("bkh,hw->bkw", oh_rows, gg)
+    else:
+        rows_sel = jnp.einsum("bkh,bhw->bkw", oh_rows, gg)
+    pz = jnp.einsum("bkw,bcw->bkc", rows_sel[..., :W], oh_cols, **kw)
+    pf = jnp.einsum("bkw,bcw->bkc", rows_sel[..., W:], oh_cols, **kw)
+    # exactly-bf16 values as f32 -> pack [z_hi | mu_lo] per cell in u32 ops
+    uz = lax.bitcast_convert_type(pz.reshape(B, 256), jnp.uint32)
+    uf = lax.bitcast_convert_type(pf.reshape(B, 256), jnp.uint32)
+    words = lax.bitcast_convert_type(
+        (uz & jnp.uint32(0xFFFF0000)) | (uf >> 16), jnp.float32)
+    sxy = jnp.stack([sx, sy], axis=1).astype(jnp.float32)
+    return sxy, words
 
 
 def _rodrigues_components(r, w0, w1, w2, dt, eps=1e-6):
@@ -338,7 +377,12 @@ def _step(robot: RobotModel, c: _Consts, windows, st, tv_t, ja_t, integ, dt,
     vn = vx * nx + vy * ny + vz * nz
     scale = -(robot.stiffness * dh + robot.damping * vn)
     n_cp = jnp.sum(contact, axis=1, keepdims=True)
-    cs = scale * contact / n_cp
+    # the reference divides unguarded (dphysics.py:231-232) and NaNs when the
+    # body is far enough above the terrain that sigmoid underflows to exactly
+    # 0 for EVERY point (dh > ~8.9 m in f32) — reachable through garbage
+    # early-training terrain predictions.  The guard only changes that
+    # exact-0 case (0/eps = 0: no contact, no force).
+    cs = scale * contact / jnp.maximum(n_cp, 1e-20)
     mg = m * g
     fsx = jnp.clip(cs * nx, -mg, mg)
     fsy = jnp.clip(cs * ny, -mg, mg)
@@ -544,7 +588,7 @@ def planner_rollout(robot: RobotModel, z_grid, controls,
     """Serving-grade rollout for the shooting planner (the headline hot
     loop).  Same step physics as :func:`fast_rollout`, but the per-point
     math of each step runs inside one Pallas kernel
-    (:func:`monoforce_tpu.ops.fk_step_pallas.fk_step`) that reduces to eight
+    (:mod:`monoforce_tpu.ops.fk_step_pallas`) that reduces to eight
     (B,) planes in VMEM, and integration + the Rodrigues update run as
     VECTORIZED ops on the packed (B, 18) carry (rotation update in matrix
     form R' = R (I + sin K + (1-cos) (kk^T - I)) over (B, 27) lanes — no
@@ -563,21 +607,31 @@ def planner_rollout(robot: RobotModel, z_grid, controls,
     planner-regime terrain, within-preset cost-ranking Spearman > 0.99;
     see docs/PERFORMANCE.md "pair mode").
 
+    For 64 < P <= 256 contact presets — including the reference's own 0.1 m
+    voxel resolution (138-202 points, dphys_config.py:8) — the kernel runs
+    in **packed single mode** (``fk_step_packed``): one trajectory per row,
+    up to two registers of per-point planes, bf16 [z|mu] packed tap words
+    (four gathers fetch height AND friction with the exact reference
+    bilinear weights) and half-width window extraction.  The only accuracy
+    trade vs the exact path is the bf16 tap quantization (gated in
+    tests/test_fast.py::test_planner_packed_single_*).
+
     Restrictions (falls back to :func:`fast_rollout` otherwise): no flipper
-    articulation, euler integration, <= 128 contact points.  Forward-parity
+    articulation, euler integration, <= 256 contact points.  Forward-parity
     with fast_rollout is exact in structure but not bit-identical (MXU
     reduction order and the matrix-form Rodrigues differ in f32 rounding);
     trajectory RMSE is the gate (tests/test_fast.py::test_planner_rollout*,
     test_planner_pair_mode*).
     """
     P = robot.points.shape[0]
-    if robot.integration_mode != "euler" or P > 128:
+    if robot.integration_mode != "euler" or P > 256:
         return fast_rollout.__wrapped__(robot, z_grid, controls,
                                         state0=state0, friction=friction,
                                         track_vels=track_vels,
                                         with_stats=with_stats)
     from monoforce_tpu.ops.fk_step_pallas import (
-        fk_step, fk_step_pair, pack_consts, pack_points, pack_points_pair,
+        fk_step_packed, fk_step_pair, pack_consts, pack_points,
+        pack_points_pair,
     )
 
     controls = jnp.asarray(controls, jnp.float32)
@@ -644,7 +698,57 @@ def planner_rollout(robot: RobotModel, z_grid, controls,
         Rn = (R[:, _ri] * M[:, _mi]).reshape(-1, 9, 3).sum(-1)
         return jnp.concatenate([xn, vn, Rn, wn], axis=1)
 
-    def run_block(state18, tvs):
+    # pair-layout integrate: identical math on the (B/2, 36) carry so the
+    # per-step (B,18)<->(B/2,36) reshapes at the kernel boundary disappear
+    # (measured ~1.2 ms / 100-step 4096-traj batch — pure HBM relayout).
+    # Column slices double (A and B halves) but stay vectorized; the 54-lane
+    # Rodrigues product reuses the gather-index trick with offset maps.
+    eye18 = jnp.concatenate([eye9, eye9])
+    # R/M below are the (BP, 18) [A(9) | B(9)] halves — B-half indices
+    # offset by 9 into those 18-wide views
+    _ri2 = jnp.concatenate([_ri, _ri + 9])
+    _mi2 = jnp.concatenate([_mi, _mi + 9])
+
+    def _halves(a, c0, n):
+        return jnp.concatenate([a[:, c0:c0 + n], a[:, c0 + 18:c0 + 18 + n]],
+                               axis=1)
+
+    def integrate_pair(s36, acc16):
+        accA, accB = acc16[:, 0:8], acc16[:, 8:16]
+        acc6 = jnp.concatenate([accA[:, 0:3], accB[:, 0:3]], axis=1)
+        aw6 = jnp.concatenate([accA[:, 3:6], accB[:, 3:6]], axis=1)
+        vn = _halves(s36, 3, 3) + acc6 * dt                    # (BP, 6) [A|B]
+        xn = _halves(s36, 0, 3) + vn * dt
+        wn = _halves(s36, 15, 3) + aw6 * dt
+        w2 = wn * wn
+        thetaA = jnp.sqrt(jnp.sum(w2[:, 0:3], axis=1, keepdims=True))
+        thetaB = jnp.sqrt(jnp.sum(w2[:, 3:6], axis=1, keepdims=True))
+        theta = jnp.concatenate([thetaA, thetaB], axis=1)      # (BP, 2)
+        k = wn / jnp.repeat(jnp.maximum(theta, 1e-6), 3, axis=1)
+        s = jnp.sin(theta * dt)
+        c1 = 1.0 - jnp.cos(theta * dt)
+        kkA = (k[:, 0:3, None] * k[:, None, 0:3]).reshape(-1, 9)
+        kkB = (k[:, 3:6, None] * k[:, None, 3:6]).reshape(-1, 9)
+        kk = jnp.concatenate([kkA, kkB], axis=1)               # (BP, 18)
+        zc = jnp.zeros_like(thetaA)
+
+        def K_of(kh):
+            return jnp.concatenate(
+                [zc, -kh[:, 2:3], kh[:, 1:2],
+                 kh[:, 2:3], zc, -kh[:, 0:1],
+                 -kh[:, 1:2], kh[:, 0:1], zc], axis=1)
+
+        K2 = jnp.concatenate([K_of(k[:, 0:3]), K_of(k[:, 3:6])], axis=1)
+        sc = jnp.repeat(s, 9, axis=1)
+        cc = jnp.repeat(c1, 9, axis=1)
+        M = eye18 + sc * K2 + cc * (kk - eye18)                # (BP, 18)
+        R = _halves(s36, 6, 9)                                 # (BP, 18)
+        Rn = (R[:, _ri2] * M[:, _mi2]).reshape(-1, 18, 3).sum(-1)
+        return jnp.concatenate(
+            [xn[:, 0:3], vn[:, 0:3], Rn[:, 0:9], wn[:, 0:3],
+             xn[:, 3:6], vn[:, 3:6], Rn[:, 9:18], wn[:, 3:6]], axis=1)
+
+    def _world_xy18(state18):
         # world x/y from (B, 1) column slices — lane broadcasts, no relayout
         x0 = state18[:, 0:1]
         x1 = state18[:, 1:2]
@@ -652,49 +756,76 @@ def planner_rollout(robot: RobotModel, z_grid, controls,
               + state18[:, 8:9] * c.pz + x0)
         wy = (state18[:, 9:10] * c.px + state18[:, 10:11] * c.py
               + state18[:, 11:12] * c.pz + x1)
-        if pair:
-            sxy, patch2 = _extract_windows_packed(
-                z_grid, friction, wx, wy, robot.d_max, robot.grid_res)
-            sxy2 = sxy.reshape(-1, 4)        # per-refresh relayouts only
-        else:
-            sxy, patch = _extract_windows(z_grid, friction, wx, wy,
-                                          robot.d_max, robot.grid_res)
+        return wx, wy
+
+    def run_block(state18, tvs):
+        wx, wy = _world_xy18(state18)
+        sxy, patch1 = _extract_windows_packed1(
+            z_grid, friction, wx, wy, robot.d_max, robot.grid_res)
         states_k, stats_k = [], []
         for k in range(tvs.shape[0]):
-            if pair:
-                acc8 = fk_step_pair(cst, patch2, state18.reshape(-1, 36),
-                                    tvs[k].reshape(-1, 16), sxy2, pts,
-                                    n_k=robot.n_tracks).reshape(-1, 8)
-            else:
-                acc8 = fk_step(cst, patch, state18, tvs[k], sxy, pts)
+            acc8 = fk_step_packed(cst, patch1, state18, tvs[k], sxy, pts)
             state18 = integrate(state18, acc8)
             states_k.append(state18)
             stats_k.append(acc8)   # sliced AFTER stacking (relayout once)
         return state18, (jnp.stack(states_k), jnp.stack(stats_k))
+
+    def run_block_pair(state36, tvs):
+        # the (BP, 36) pair carry never changes layout inside the loop; the
+        # one (B, 18) view per REFRESH steps below is for window extraction
+        wx, wy = _world_xy18(state36.reshape(-1, 18))
+        sxy, patch2 = _extract_windows_packed(
+            z_grid, friction, wx, wy, robot.d_max, robot.grid_res)
+        sxy2 = sxy.reshape(-1, 4)            # per-refresh relayouts only
+        tvs2 = tvs.reshape(tvs.shape[0], -1, 16)
+        states_k, stats_k = [], []
+        for k in range(tvs.shape[0]):
+            acc16 = fk_step_pair(cst, patch2, state36, tvs2[k], sxy2, pts,
+                                 n_k=robot.n_tracks)
+            state36 = integrate_pair(state36, acc16)
+            states_k.append(state36)
+            stats_k.append(acc16)
+        return state36, (jnp.stack(states_k), jnp.stack(stats_k))
 
     # (N, B, 8) zero-padded track velocities (kernel uses the first 4 lanes)
     tv_t = jnp.swapaxes(track_vels, 0, 1)
     tv_t = jnp.concatenate(
         [tv_t, jnp.zeros(tv_t.shape[:2] + (8 - K,), jnp.float32)], axis=-1)
     n_total = tv_t.shape[0]
-    refresh = _REFRESH_PAIR if pair else _REFRESH
+    # both serving modes refresh every 16 steps: worst-case drift between
+    # refreshes (vel_max * 16 * dt = 0.16 m) stays within the window's
+    # 2-cell margin down to 0.08 m grids; OOB taps clamp gracefully
+    refresh = _REFRESH_PAIR
     n_blocks, rem = divmod(n_total, refresh)
+
+    if pair:
+        carry = state18.reshape(-1, 36)   # once, outside the loop
+        block_fn = run_block_pair
+    else:
+        carry = state18
+        block_fn = run_block
 
     parts = []
     if n_blocks > 0:
         blocks_tv = tv_t[:n_blocks * refresh].reshape(
             (n_blocks, refresh) + tv_t.shape[1:])
-        state18, outs_main = lax.scan(
-            lambda s, b: run_block(s, b), state18, blocks_tv)
+        carry, outs_main = lax.scan(
+            lambda s, b: block_fn(s, b), carry, blocks_tv)
         outs_main = jax.tree.map(
             lambda a: a.reshape((-1,) + a.shape[2:]), outs_main)
         parts.append(outs_main)
     if rem > 0:
-        state18, outs_rem = run_block(state18, tv_t[n_blocks * refresh:])
+        carry, outs_rem = block_fn(carry, tv_t[n_blocks * refresh:])
         parts.append(outs_rem)
     seq, acc_seq = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts) \
         if len(parts) > 1 else parts[0]
-    s_std = acc_seq[..., 6]                                   # (N, B)
+    if pair:
+        n_seq = seq.shape[0]
+        seq = seq.reshape(n_seq, -1, 18)   # (N, BP, 36) -> (N, B, 18) view
+        s_std = jnp.stack([acc_seq[..., 6], acc_seq[..., 14]],
+                          axis=-1).reshape(n_seq, -1)          # (N, B)
+    else:
+        s_std = acc_seq[..., 6]                               # (N, B)
 
     seq = jnp.swapaxes(seq, 0, 1)                             # (B, N, 18)
     xs = seq[..., 0:3]

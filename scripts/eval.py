@@ -25,6 +25,7 @@ def main():
     p.add_argument("--data_dir", type=str, required=True)
     p.add_argument("--robot", type=str, default="marv")
     p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--lss_cfg_path", type=str, default=None)
     p.add_argument("--bsz", type=int, default=1)
     p.add_argument("--dphys_grid_res", type=float, default=0.4)
     p.add_argument("--traj_sim_time", type=float, default=5.0)
@@ -43,7 +44,8 @@ def main():
 
     dphys_cfg = PhysicsConfig(robot=args.robot, grid_res=args.dphys_grid_res,
                               traj_sim_time=args.traj_sim_time)
-    lss_cfg = LSSConfig()
+    lss_cfg = (LSSConfig.from_yaml(args.lss_cfg_path)
+               if args.lss_cfg_path else LSSConfig())
     lss_dict = {"data_aug_conf": lss_cfg.data_aug_conf,
                 "grid_conf": lss_cfg.grid_conf,
                 "soft_classes": lss_cfg.soft_classes}

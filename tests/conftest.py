@@ -23,6 +23,17 @@ import torch  # noqa: E402  (import order is the fix, see above)
 
 torch.set_num_threads(1)  # keep torch's OpenMP pool out of XLA's way
 
+# Raise the main-thread stack limit: XLA's CPU backend compiles the largest
+# programs (the end-to-end train step) on the CALLING thread with deeply
+# recursive LLVM passes; late in a full-suite session those compiles have
+# SIGSEGV'd at the default 8 MiB stack while the same test passes standalone.
+import resource  # noqa: E402
+
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+if _soft != resource.RLIM_INFINITY and (_hard == resource.RLIM_INFINITY
+                                        or _soft < _hard):
+    resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+
 import jax  # noqa: E402
 
 # The environment's axon TPU plugin (sitecustomize) overrides JAX_PLATFORMS
@@ -32,3 +43,34 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
+
+# ---------------------------------------------------------------------------
+# Full-suite SIGSEGV root cause (VERDICT r2 #1): every XLA-compiled
+# executable holds several anonymous mappings, and one ~180-test session
+# accumulates past the kernel's vm.max_map_count (65530 default; measured
+# ~33k mappings a third of the way in).  When mmap starts failing, LLVM
+# segfaults inside backend_compile — always late in the session, always at
+# whichever test issues the next BIG compile (test_trainer in rounds 2/3),
+# while every module passes standalone.  Bound the accumulation: after any
+# module that leaves the process near the ceiling, drop the executable
+# caches (later modules recompile what they reuse — a bounded, rare cost).
+# ---------------------------------------------------------------------------
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+def _proc_maps_count() -> int:
+    try:
+        with open(f"/proc/{os.getpid()}/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:
+        return 0
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compiled_executable_maps():
+    yield
+    if _proc_maps_count() > 40_000:
+        jax.clear_caches()
+        gc.collect()

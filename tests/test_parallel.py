@@ -6,7 +6,6 @@ import numpy as np
 
 from monoforce_tpu.config import PhysicsConfig
 from monoforce_tpu.physics.engine import RigidState, RobotModel
-from monoforce_tpu.physics.fast import fast_rollout
 from monoforce_tpu.parallel import (
     make_mesh, data_sharding, replicated, shard_batch, sharded_shoot,
 )
@@ -22,19 +21,30 @@ def test_make_mesh_and_sharding_helpers():
 
 
 def test_sharded_shoot_matches_single_device():
+    """B = 128 keeps the PER-SHARD batch (16) on the same serving-kernel
+    mode as the unsharded run: planner mode selection is a function of the
+    LOCAL batch (pair packing needs B % 16 == 0), so a B where shards fall
+    off the pair path would compare pair vs packed-single semantics (which
+    differ by the documented nearest-cell-friction / statistics trades)
+    instead of testing the sharding itself."""
     cfg = PhysicsConfig(robot="tradr")
     robot = RobotModel.from_config(cfg)
     mesh = make_mesh(8)
     key = jax.random.PRNGKey(0)
     z = 0.1 * jax.random.normal(key, (128, 128))
-    ctr = jax.random.uniform(key, (64, 50, 2), minval=-1, maxval=1)
+    ctr = jax.random.uniform(key, (128, 50, 2), minval=-1, maxval=1)
 
     xs, costs = sharded_shoot(mesh, robot, z, ctr)
-    assert xs.shape == (64, 50, 3)
-    assert costs.shape == (64,)
-    s, st = fast_rollout(robot, z, ctr)
+    assert xs.shape == (128, 50, 3)
+    assert costs.shape == (128,)
+    # reference = the SAME serving rollout unsharded (sharding must be a
+    # no-op on semantics); the serving path's own accuracy vs the exact
+    # engine is gated separately in tests/test_fast.py
+    from monoforce_tpu.physics.fast import planner_rollout
+
+    s, st = planner_rollout(robot, z, ctr)
     rmse = float(np.sqrt(np.mean((np.asarray(xs) - np.asarray(s.x)) ** 2)))
-    assert rmse < 1e-3, rmse
+    assert rmse < 1e-5, rmse
     np.testing.assert_allclose(
         np.asarray(costs), np.asarray(force_variance_cost(st.spring_std)),
         atol=5e-3)

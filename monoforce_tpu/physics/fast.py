@@ -42,8 +42,7 @@ Two rollouts live here (docs/PERFORMANCE.md has the measurement story):
   VMEM (`ops/fk_step_pallas.py`), integration is vectorized over the packed
   carry, and bf16 [z|mu] packed tap words fetch height AND friction in four
   gathers.  P <= 64 contact presets pack TWO trajectories per 128-lane
-  register row (pair mode; the carry stays in the (B/2, 36) pair layout —
-  no per-step relayouts); 64 < P <= 256 presets — including the reference's
+  register row (pair mode); 64 < P <= 256 presets — including the reference's
   own 0.1 m voxel resolution — run one trajectory per row over up to two
   registers of per-point planes (packed single mode).  All trades are
   measured and gated.  This is the headline-benchmark path (<10 ms
@@ -698,56 +697,6 @@ def planner_rollout(robot: RobotModel, z_grid, controls,
         Rn = (R[:, _ri] * M[:, _mi]).reshape(-1, 9, 3).sum(-1)
         return jnp.concatenate([xn, vn, Rn, wn], axis=1)
 
-    # pair-layout integrate: identical math on the (B/2, 36) carry so the
-    # per-step (B,18)<->(B/2,36) reshapes at the kernel boundary disappear
-    # (measured ~1.2 ms / 100-step 4096-traj batch — pure HBM relayout).
-    # Column slices double (A and B halves) but stay vectorized; the 54-lane
-    # Rodrigues product reuses the gather-index trick with offset maps.
-    eye18 = jnp.concatenate([eye9, eye9])
-    # R/M below are the (BP, 18) [A(9) | B(9)] halves — B-half indices
-    # offset by 9 into those 18-wide views
-    _ri2 = jnp.concatenate([_ri, _ri + 9])
-    _mi2 = jnp.concatenate([_mi, _mi + 9])
-
-    def _halves(a, c0, n):
-        return jnp.concatenate([a[:, c0:c0 + n], a[:, c0 + 18:c0 + 18 + n]],
-                               axis=1)
-
-    def integrate_pair(s36, acc16):
-        accA, accB = acc16[:, 0:8], acc16[:, 8:16]
-        acc6 = jnp.concatenate([accA[:, 0:3], accB[:, 0:3]], axis=1)
-        aw6 = jnp.concatenate([accA[:, 3:6], accB[:, 3:6]], axis=1)
-        vn = _halves(s36, 3, 3) + acc6 * dt                    # (BP, 6) [A|B]
-        xn = _halves(s36, 0, 3) + vn * dt
-        wn = _halves(s36, 15, 3) + aw6 * dt
-        w2 = wn * wn
-        thetaA = jnp.sqrt(jnp.sum(w2[:, 0:3], axis=1, keepdims=True))
-        thetaB = jnp.sqrt(jnp.sum(w2[:, 3:6], axis=1, keepdims=True))
-        theta = jnp.concatenate([thetaA, thetaB], axis=1)      # (BP, 2)
-        k = wn / jnp.repeat(jnp.maximum(theta, 1e-6), 3, axis=1)
-        s = jnp.sin(theta * dt)
-        c1 = 1.0 - jnp.cos(theta * dt)
-        kkA = (k[:, 0:3, None] * k[:, None, 0:3]).reshape(-1, 9)
-        kkB = (k[:, 3:6, None] * k[:, None, 3:6]).reshape(-1, 9)
-        kk = jnp.concatenate([kkA, kkB], axis=1)               # (BP, 18)
-        zc = jnp.zeros_like(thetaA)
-
-        def K_of(kh):
-            return jnp.concatenate(
-                [zc, -kh[:, 2:3], kh[:, 1:2],
-                 kh[:, 2:3], zc, -kh[:, 0:1],
-                 -kh[:, 1:2], kh[:, 0:1], zc], axis=1)
-
-        K2 = jnp.concatenate([K_of(k[:, 0:3]), K_of(k[:, 3:6])], axis=1)
-        sc = jnp.repeat(s, 9, axis=1)
-        cc = jnp.repeat(c1, 9, axis=1)
-        M = eye18 + sc * K2 + cc * (kk - eye18)                # (BP, 18)
-        R = _halves(s36, 6, 9)                                 # (BP, 18)
-        Rn = (R[:, _ri2] * M[:, _mi2]).reshape(-1, 18, 3).sum(-1)
-        return jnp.concatenate(
-            [xn[:, 0:3], vn[:, 0:3], Rn[:, 0:9], wn[:, 0:3],
-             xn[:, 3:6], vn[:, 3:6], Rn[:, 9:18], wn[:, 3:6]], axis=1)
-
     def _world_xy18(state18):
         # world x/y from (B, 1) column slices — lane broadcasts, no relayout
         x0 = state18[:, 0:1]
@@ -770,22 +719,25 @@ def planner_rollout(robot: RobotModel, z_grid, controls,
             stats_k.append(acc8)   # sliced AFTER stacking (relayout once)
         return state18, (jnp.stack(states_k), jnp.stack(stats_k))
 
-    def run_block_pair(state36, tvs):
-        # the (BP, 36) pair carry never changes layout inside the loop; the
-        # one (B, 18) view per REFRESH steps below is for window extraction
-        wx, wy = _world_xy18(state36.reshape(-1, 18))
+    def run_block_pair(state18, tvs):
+        # Carry stays (B, 18); the kernel sees (B/2, 36) via per-step
+        # reshapes.  Carrying the pair layout THROUGH integration was tried
+        # and reverted (+0.7 ms/batch): the pair-layout Rodrigues/Euler ops
+        # cost more than the (B,18)<->(B/2,36) HBM relayouts they replace
+        # (docs/PERFORMANCE.md "negative results").
+        wx, wy = _world_xy18(state18)
         sxy, patch2 = _extract_windows_packed(
             z_grid, friction, wx, wy, robot.d_max, robot.grid_res)
         sxy2 = sxy.reshape(-1, 4)            # per-refresh relayouts only
-        tvs2 = tvs.reshape(tvs.shape[0], -1, 16)
         states_k, stats_k = [], []
         for k in range(tvs.shape[0]):
-            acc16 = fk_step_pair(cst, patch2, state36, tvs2[k], sxy2, pts,
-                                 n_k=robot.n_tracks)
-            state36 = integrate_pair(state36, acc16)
-            states_k.append(state36)
-            stats_k.append(acc16)
-        return state36, (jnp.stack(states_k), jnp.stack(stats_k))
+            acc8 = fk_step_pair(cst, patch2, state18.reshape(-1, 36),
+                                tvs[k].reshape(-1, 16), sxy2, pts,
+                                n_k=robot.n_tracks).reshape(-1, 8)
+            state18 = integrate(state18, acc8)
+            states_k.append(state18)
+            stats_k.append(acc8)   # sliced AFTER stacking (relayout once)
+        return state18, (jnp.stack(states_k), jnp.stack(stats_k))
 
     # (N, B, 8) zero-padded track velocities (kernel uses the first 4 lanes)
     tv_t = jnp.swapaxes(track_vels, 0, 1)
@@ -798,12 +750,8 @@ def planner_rollout(robot: RobotModel, z_grid, controls,
     refresh = _REFRESH_PAIR
     n_blocks, rem = divmod(n_total, refresh)
 
-    if pair:
-        carry = state18.reshape(-1, 36)   # once, outside the loop
-        block_fn = run_block_pair
-    else:
-        carry = state18
-        block_fn = run_block
+    carry = state18
+    block_fn = run_block_pair if pair else run_block
 
     parts = []
     if n_blocks > 0:
@@ -819,13 +767,7 @@ def planner_rollout(robot: RobotModel, z_grid, controls,
         parts.append(outs_rem)
     seq, acc_seq = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts) \
         if len(parts) > 1 else parts[0]
-    if pair:
-        n_seq = seq.shape[0]
-        seq = seq.reshape(n_seq, -1, 18)   # (N, BP, 36) -> (N, B, 18) view
-        s_std = jnp.stack([acc_seq[..., 6], acc_seq[..., 14]],
-                          axis=-1).reshape(n_seq, -1)          # (N, B)
-    else:
-        s_std = acc_seq[..., 6]                               # (N, B)
+    s_std = acc_seq[..., 6]                                   # (N, B)
 
     seq = jnp.swapaxes(seq, 0, 1)                             # (B, N, 18)
     xs = seq[..., 0:3]

@@ -19,14 +19,15 @@ Target: < 10 ms per 4096x100 batch.  ``vs_baseline`` = target_ms / measured_ms
 
 Emits TWO JSON lines (VERDICT r2 #3): first the REFERENCE-RESOLUTION preset
 (voxel 0.1 m, 148 contact points — the reference's own contact cloud,
-dphys_config.py:8-35; runs the packed single-trajectory kernel, two
-registers of per-point planes per trajectory), then the headline
-serving-preset line (voxel 0.15 m pair mode) LAST so the driver's parsed
-metric stays the headline.  The reference-resolution preset cannot reach
-10 ms on this chip: its per-point f32 math alone floors at ~16 ms
-(docs/PERFORMANCE.md roofline — 145 elementwise plane ops x 256 lanes x
-4096 trajs x 100 steps at ~1024 f32/cycle); its vs_baseline is reported
-against the same 10 ms target for honesty, not as a pass/fail bar.
+dphys_config.py:8-35; runs the pair3 kernel: two trajectories packed
+across three 128-lane registers, bf16 [z|mu] tap words, exact bilinear
+friction), then the headline serving-preset line (voxel 0.15 m pair mode)
+LAST so the driver's parsed metric stays the headline.  The
+reference-resolution preset measures 13.5 ms — above the 10 ms bar, near
+its own ~11.9 ms VPU roofline (docs/PERFORMANCE.md — 145 elementwise plane
+ops x 384 lanes / 2 trajs x 4096 trajs x 100 steps at ~1024 f32/cycle);
+its vs_baseline is reported against the same 10 ms target for honesty, not
+as a pass/fail bar.
 
 Measures SUSTAINED latency: ``REPS`` consecutive shooting batches inside one
 jitted program (the continuous-planning serving pattern), one host sync at
@@ -104,8 +105,8 @@ def _measure(cfg):
 
 def main():
     # the REFERENCE's own contact resolution (voxel 0.1 m, 148 points for
-    # tradr, dphys_config.py:8-35): packed single-trajectory kernel, two
-    # registers of per-point planes — reported first (the headline line must
+    # tradr, dphys_config.py:8-35): pair3 kernel, two trajectories across
+    # three 128-lane registers — reported first (the headline line must
     # come LAST for the driver's parser)
     ms_ref = _measure(PhysicsConfig(robot="tradr", mesh_voxel_size=0.1))
     print(json.dumps({

@@ -45,8 +45,9 @@ from jax.experimental.pallas import tpu as pltpu
 from monoforce_tpu.ops.interp_pallas import (TAP_OFFSETS, _block_rows,
                                              _gather128)
 
-__all__ = ["fk_step", "fk_step_pair", "fk_step_packed", "pack_consts",
-           "pack_points", "pack_points_pair"]
+__all__ = ["fk_step", "fk_step_pair", "fk_step_pair3", "fk_step_packed",
+           "pack_consts", "pack_points", "pack_points_pair",
+           "pack_points_pair3"]
 
 _RB = 512
 
@@ -473,13 +474,25 @@ def _unpack_pair(word, hs):
 
 
 def _step_math_pair(cst, patch, state2, tv2, sxy2, pts, n_k, gather2,
-                    reduce_halves, half_mask):
+                    reduce_halves, half_mask, packed_zmu=False):
     """fk_step's per-point physics with two trajectories per register row.
 
     state2: (BP, 36) = [state_A(18) | state_B(18)]; tv2: (BP, 16); sxy2:
-    (BP, 4); patch: (BP, 512) = [[z_A|z_B](256) | [mu_A|mu_B](256)] packed
-    bf16 pair words (pack_pair_windows in physics/fast.py).  ``half_mask`` is a (BP, 128) bool plane (lanes < 64);
-    ``reduce_halves(planes)`` returns [(sum_A, sum_B), ...] as (BP, 1) pairs.
+    (BP, 4); ``half_mask`` is a (BP, PW) bool plane, True on trajectory A's
+    lanes; ``reduce_halves(planes)`` returns [(sum_A, sum_B), ...] as
+    (BP, 1) pairs.  Two window layouts:
+
+    - ``packed_zmu=False`` (pair mode, P <= 64, PW=128): patch is (BP, 512)
+      = [[z_A|z_B](256) | [mu_A|mu_B](256)] bf16 PAIR words — one word
+      holds both trajectories' values for a cell; friction is a nearest-cell
+      lookup (documented trade).
+    - ``packed_zmu=True`` (pair3 mode, 64 < P <= 192, PW=384): patch is
+      (BP, 512) = [w_A(256) | w_B(256)] where each half is the bf16
+      [z | mu] per-cell packed window (physics/fast._extract_windows_packed1)
+      of ONE trajectory; the four bilinear taps fetch height AND friction
+      with the exact reference weights (``gather2`` routes each lane to its
+      trajectory's window half).
+
     Returns (BP, 16) = [acc_A(8) | acc_B(8)],
     acc = [ax, ay, az, aw0, aw1, aw2, spring_std, n_contacts].
     Same formulas as _step_math (reference dphysics.py:172-272)."""
@@ -527,17 +540,25 @@ def _step_math_pair(cst, patch, state2, tv2, sxy2, pts, n_k, gather2,
     xl = jnp.clip(xi - sx, 0, 14)
     yl = jnp.clip(yi - sy, 0, 14)
     idx = xl * 16 + yl
-    # z taps from the [z_A | z_B] word plane (patch lanes 0-255); friction is
-    # a NEAREST-cell lookup from the [mu_A | mu_B] plane (lanes 256-511) —
-    # one gather instead of four (a documented pair-mode trade; exact when
-    # the friction grid is uniform)
-    tz = [_unpack_pair(gather2(patch, 0, idx + off), hs)
-          for off in TAP_OFFSETS]
-    mu = _unpack_pair(gather2(patch, 256, idx), hs)
     w_cc = (1 - xf) * (1 - yf)
     w_cf = (1 - xf) * yf
     w_lc = xf * (1 - yf)
     w_fl = xf * yf
+    if packed_zmu:
+        # pair3: each tap word is [z | mu] for THIS lane's trajectory — four
+        # gathers fetch both quantities, friction keeps exact bilinear
+        tw = [gather2(patch, 0, idx + off) for off in TAP_OFFSETS]
+        tz = [_unpack_hi(w) for w in tw]
+        tf = [_unpack_lo(w) for w in tw]
+        mu = w_cc * tf[0] + w_cf * tf[1] + w_lc * tf[2] + w_fl * tf[3]
+    else:
+        # pair: z taps from the [z_A | z_B] word plane (patch lanes 0-255);
+        # friction is a NEAREST-cell lookup from the [mu_A | mu_B] plane
+        # (lanes 256-511) — one gather instead of four (a documented
+        # pair-mode trade; exact when the friction grid is uniform)
+        tz = [_unpack_pair(gather2(patch, 0, idx + off), hs)
+              for off in TAP_OFFSETS]
+        mu = _unpack_pair(gather2(patch, 256, idx), hs)
     z = w_cc * tz[0] + w_cf * tz[1] + w_lc * tz[2] + w_fl * tz[3]
     dz_dx = (tz[1] - tz[0]) / res
     dz_dy = (tz[2] - tz[0]) / res
@@ -703,3 +724,143 @@ def fk_step_pair(cst, patch, state2, tv2, sxy2, pts, n_k: int = 4):
     if jax.default_backend() == "tpu" and rb:
         return _fk_pair_pallas(cst, patch, state2, tv2, sxy2, pts, n_k, rb)
     return _fk_pair_xla(cst, patch, state2, tv2, sxy2, pts, n_k)
+
+
+# ------------------------------------------------------------- pair3 mode
+#
+# Serving variant for 64 < P <= 192 contact presets — crucially including
+# the reference's own 0.1 m voxel cloud (148 points for tradr,
+# dphys_config.py:8) — that removes packed single mode's 42% lane waste:
+# TWO trajectories share each row across THREE 128-lane registers
+# (lanes 0-191 = trajectory 2i, 192-383 = 2i+1), cutting the per-point VPU
+# element count per trajectory from 256 to 192 lanes (the measured
+# roofline).  Gather cost per trajectory is unchanged (each 128-lane target
+# chunk runs the same 2-segment ladder into its trajectory's 256-word
+# window half), and friction keeps the exact reference bilinear weights —
+# the only accuracy trade vs the exact path remains the bf16 tap
+# quantization.
+
+
+def pack_points_pair3(robot) -> jax.Array:
+    """(8, 384) point planes with the 64 < P <= 192 contact set mirrored
+    into both 192-lane halves: px, py, pz, mask, 4 driving masks."""
+    P = robot.points.shape[0]
+    if not 64 < P <= 192:
+        raise ValueError(f"pair3 mode needs 64 < P <= 192 points, got {P}")
+
+    def padp(a):
+        h = jnp.pad(jnp.asarray(a, jnp.float32), (0, 192 - P))
+        return jnp.concatenate([h, h])
+
+    rows = [padp(robot.points[:, 0]), padp(robot.points[:, 1]),
+            padp(robot.points[:, 2]), padp(jnp.ones((P,), jnp.float32))]
+    K = robot.driving_masks.shape[0]
+    for k in range(4):
+        rows.append(padp(robot.driving_masks[k]) if k < K
+                    else jnp.zeros((384,), jnp.float32))
+    return jnp.stack(rows)
+
+
+def _gather384(patch, it, rb):
+    """Per-lane routed gather for pair3: lanes 0-191 read trajectory A's
+    packed window (patch[:, 0:256]), lanes 192-383 read B's (256:512).
+    Chunk 0 is pure A, chunk 2 pure B; only the middle chunk pays a second
+    ladder + select."""
+    outs = []
+    for ci in range(3):
+        idxc = it[:, ci * 128:(ci + 1) * 128]
+        if ci == 0:
+            outs.append(_gather128(patch, 0, idxc, rb))
+        elif ci == 2:
+            outs.append(_gather128(patch, 256, idxc, rb))
+        else:
+            ga = _gather128(patch, 0, idxc, rb)
+            gb = _gather128(patch, 256, idxc, rb)
+            hsc = jax.lax.broadcasted_iota(jnp.int32, (rb, 128), 1) < 64
+            outs.append(jnp.where(hsc, ga, gb))
+    return jnp.concatenate(outs, axis=1)
+
+
+def _half_ones3():
+    """(384, 16) reduce matrix: column 0 sums trajectory A's 192 lanes,
+    column 8 trajectory B's (output columns align with the (BP, 16)
+    [acc_A | acc_B] layout)."""
+    o = jnp.zeros((384, 16), jnp.float32)
+    o = o.at[:192, 0].set(1.0)
+    o = o.at[192:, 8].set(1.0)
+    return o
+
+
+def _fk_pair3_kernel(cst_ref, patch_ref, state_ref, tv_ref, sxy_ref, pts_ref,
+                     ones_ref, out_ref, *, n_k):
+    patch = patch_ref[:]
+    rb = patch.shape[0]
+    ones2 = ones_ref[:]
+    hs = jax.lax.broadcasted_iota(jnp.int32, (rb, 384), 1) < 192
+    out_ref[:] = _step_math_pair(
+        cst_ref, patch, state_ref[:], tv_ref[:], sxy_ref[:], pts_ref[:],
+        n_k=n_k,
+        gather2=lambda p, b, it: _gather384(p, it, rb),
+        reduce_halves=lambda planes: _mxu_reduce_halves(planes, ones2),
+        half_mask=hs, packed_zmu=True)
+
+
+def _fk_pair3_xla(cst, patch, state2, tv2, sxy2, pts, n_k=4):
+    bp = patch.shape[0]
+    hs = jax.lax.broadcasted_iota(jnp.int32, (bp, 384), 1) < 192
+
+    def gather2(p, base, it):
+        ic = jnp.clip(it, 0, 255)
+        va = jnp.take_along_axis(p[:, 0:256], ic, axis=1)
+        vb = jnp.take_along_axis(p[:, 256:512], ic, axis=1)
+        return jnp.where(hs, va, vb)
+
+    def reduce_halves(planes):
+        return [(jnp.sum(jnp.where(hs, p, 0.0), axis=1, keepdims=True),
+                 jnp.sum(jnp.where(hs, 0.0, p), axis=1, keepdims=True))
+                for p in planes]
+
+    return _step_math_pair(cst, patch, state2, tv2, sxy2, pts, n_k=n_k,
+                           gather2=gather2, reduce_halves=reduce_halves,
+                           half_mask=hs, packed_zmu=True)
+
+
+def _fk_pair3_pallas(cst, patch, state2, tv2, sxy2, pts, n_k, rb):
+    import functools
+
+    BP = patch.shape[0]
+    ones2 = _half_ones3()
+    return pl.pallas_call(
+        functools.partial(_fk_pair3_kernel, n_k=n_k),
+        grid=(BP // rb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((rb, 512), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 36), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 384), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((384, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rb, 16), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BP, 16), jnp.float32),
+    )(cst, patch, state2, tv2, sxy2, pts, ones2)
+
+
+def fk_step_pair3(cst, patch, state2, tv2, sxy2, pts, n_k: int = 4):
+    """Pair3-packed fk_step: two trajectories per row over three registers
+    (forward-only; the shooting planner never differentiates this path).
+
+    cst: (18,) (pack_consts); patch: (BP, 512) = [w_A(256) | w_B(256)]
+    packed bf16 [z|mu] windows (physics/fast._extract_windows_packed1,
+    reshaped), BP = B/2; state2: (BP, 36); tv2: (BP, 16); sxy2: (BP, 4);
+    pts: (8, 384) (pack_points_pair3).
+    Returns (BP, 16) = two interleaved (B, 8) acceleration/stat vectors.
+    """
+    rb = _block_rows(patch.shape[0])
+    if jax.default_backend() == "tpu" and rb:
+        if rb > 256:
+            rb = 256   # (rb, 384) planes: bound VMEM like packed single
+        return _fk_pair3_pallas(cst, patch, state2, tv2, sxy2, pts, n_k, rb)
+    return _fk_pair3_xla(cst, patch, state2, tv2, sxy2, pts, n_k)

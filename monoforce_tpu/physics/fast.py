@@ -606,14 +606,17 @@ def planner_rollout(robot: RobotModel, z_grid, controls,
     planner-regime terrain, within-preset cost-ranking Spearman > 0.99;
     see docs/PERFORMANCE.md "pair mode").
 
-    For 64 < P <= 256 contact presets — including the reference's own 0.1 m
+    For 64 < P <= 192 contact presets — including the reference's own 0.1 m
     voxel resolution (138-202 points, dphys_config.py:8) — the kernel runs
-    in **packed single mode** (``fk_step_packed``): one trajectory per row,
-    up to two registers of per-point planes, bf16 [z|mu] packed tap words
+    in **pair3 mode** (``fk_step_pair3``): two trajectories per row across
+    THREE 128-lane registers (192 lanes each), bf16 [z|mu] packed tap words
     (four gathers fetch height AND friction with the exact reference
-    bilinear weights) and half-width window extraction.  The only accuracy
-    trade vs the exact path is the bf16 tap quantization (gated in
-    tests/test_fast.py::test_planner_packed_single_*).
+    bilinear weights) and half-width window extraction.  Batches whose
+    shape cannot pair (B % 16 != 0) or presets up to P <= 256 fall to
+    **packed single mode** (``fk_step_packed``): one trajectory per row
+    over up to two registers with the same packed tap words.  The only
+    accuracy trade vs the exact path in either mode is the bf16 tap
+    quantization (gated in tests/test_fast.py::test_planner_packed_*).
 
     Restrictions (falls back to :func:`fast_rollout` otherwise): no flipper
     articulation, euler integration, <= 256 contact points.  Forward-parity
@@ -629,8 +632,8 @@ def planner_rollout(robot: RobotModel, z_grid, controls,
                                         track_vels=track_vels,
                                         with_stats=with_stats)
     from monoforce_tpu.ops.fk_step_pallas import (
-        fk_step_packed, fk_step_pair, pack_consts, pack_points,
-        pack_points_pair,
+        fk_step_packed, fk_step_pair, fk_step_pair3, pack_consts,
+        pack_points, pack_points_pair, pack_points_pair3,
     )
 
     controls = jnp.asarray(controls, jnp.float32)
@@ -655,7 +658,17 @@ def planner_rollout(robot: RobotModel, z_grid, controls,
     # sublane tile grid (fk_step_pallas._block_rows) — from the online
     # node's B=64 through the 4096-trajectory bench
     pair = P <= 64 and controls.shape[0] % 16 == 0
-    pts = pack_points_pair(robot) if pair else pack_points(robot)
+    # pair3: 64 < P <= 192 presets (incl. the reference's 0.1 m cloud,
+    # P=148) pack two trajectories across THREE registers (192 lanes each)
+    # — 25% less per-point math than packed single mode's 2x256 lanes, at
+    # unchanged gather cost and exact bilinear friction
+    pair3 = not pair and 64 < P <= 192 and controls.shape[0] % 16 == 0
+    if pair:
+        pts = pack_points_pair(robot)
+    elif pair3:
+        pts = pack_points_pair3(robot)
+    else:
+        pts = pack_points(robot)
     st = _unpack_state(state0)
 
     # settle (same as fast_rollout)
@@ -739,6 +752,27 @@ def planner_rollout(robot: RobotModel, z_grid, controls,
             stats_k.append(acc8)   # sliced AFTER stacking (relayout once)
         return state18, (jnp.stack(states_k), jnp.stack(stats_k))
 
+    def run_block_pair3(state18, tvs):
+        # Same carry discipline as run_block_pair: (B, 18) across steps,
+        # (B/2, ...) views only at the kernel boundary.  Each trajectory's
+        # packed [z|mu] window comes from the single-trajectory extractor;
+        # the (B, 256) -> (B/2, 512) reshape concatenates the pair's
+        # windows into the kernel's [w_A | w_B] row layout.
+        wx, wy = _world_xy18(state18)
+        sxy, patch1 = _extract_windows_packed1(
+            z_grid, friction, wx, wy, robot.d_max, robot.grid_res)
+        patch2 = patch1.reshape(-1, 512)
+        sxy2 = sxy.reshape(-1, 4)            # per-refresh relayouts only
+        states_k, stats_k = [], []
+        for k in range(tvs.shape[0]):
+            acc8 = fk_step_pair3(cst, patch2, state18.reshape(-1, 36),
+                                 tvs[k].reshape(-1, 16), sxy2, pts,
+                                 n_k=robot.n_tracks).reshape(-1, 8)
+            state18 = integrate(state18, acc8)
+            states_k.append(state18)
+            stats_k.append(acc8)   # sliced AFTER stacking (relayout once)
+        return state18, (jnp.stack(states_k), jnp.stack(stats_k))
+
     # (N, B, 8) zero-padded track velocities (kernel uses the first 4 lanes)
     tv_t = jnp.swapaxes(track_vels, 0, 1)
     tv_t = jnp.concatenate(
@@ -751,7 +785,12 @@ def planner_rollout(robot: RobotModel, z_grid, controls,
     n_blocks, rem = divmod(n_total, refresh)
 
     carry = state18
-    block_fn = run_block_pair if pair else run_block
+    if pair:
+        block_fn = run_block_pair
+    elif pair3:
+        block_fn = run_block_pair3
+    else:
+        block_fn = run_block
 
     parts = []
     if n_blocks > 0:

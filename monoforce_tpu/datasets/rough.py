@@ -26,7 +26,7 @@ from PIL import Image
 
 from monoforce_tpu.config import PhysicsConfig, DEFAULT_LSS_CONFIG
 from monoforce_tpu.datasets.augment import (
-    img_transform, normalize_img, sample_augmentation,
+    img_transform, normalize_img, resize_img, sample_augmentation,
 )
 from monoforce_tpu.datasets.camera import ego_to_cam, in_image_mask
 from monoforce_tpu.datasets.wildscenes import METAINFO, rigid_classes
@@ -322,13 +322,36 @@ class ROUGH:
                        dtype=np.float32).reshape(3, 3)
         return img, K
 
+    def get_cached_resized_img(self, i: int, camera: str):
+        """Shorter-side-512 resized image, cached on disk next to the raw
+        images (reference rough.py:442-457: the dataset path feeds
+        ``img_transform`` the RESIZED image — a load-speed optimization that
+        also changes the interpolation chain, so parity requires it).  Falls
+        back to an in-memory resize when the dataset directory is not
+        writable (the reference unconditionally ``os.makedirs``)."""
+        cache_dir = os.path.join(self.path, "images", "resized")
+        fpath = os.path.join(cache_dir, f"{self.ids[i]}_{camera}.png")
+        if os.path.exists(fpath):
+            K = np.asarray(self.calib[camera]["camera_matrix"]["data"],
+                           dtype=np.float32).reshape(3, 3)
+            return Image.open(fpath), K
+        img, K = self.get_image(i, camera)
+        img = resize_img(img)
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            img.save(fpath)
+        except OSError:
+            pass
+        return img, K
+
     def get_images_data(self, i: int):
         """Augmented image batch + calibration for the lift step
-        (rough.py:459-514)."""
+        (rough.py:459-514; images go through the shorter-side-512 resize
+        cache first, rough.py:471)."""
         imgs, rots, trans, intrins, post_rots, post_trans = [], [], [], [], [], []
         G = self.get_initial_pose_on_heightmap(i)
         for cam in self.camera_names:
-            img, K = self.get_image(i, cam)
+            img, K = self.get_cached_resized_img(i, cam)
             post_rot2 = np.eye(2, dtype=np.float32)
             post_tran2 = np.zeros(2, dtype=np.float32)
             aug = sample_augmentation(self.lss_cfg, is_train=self.is_train,

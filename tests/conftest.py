@@ -68,9 +68,39 @@ def _proc_maps_count() -> int:
         return 0
 
 
+# Best-effort root fix: this container runs as root, so simply raise the
+# per-process mapping ceiling (observed: one full-suite session reaches
+# 64k+ maps INSIDE a heavy module, and the kernel spends ~96% system CPU
+# thrashing mmap as it approaches the 65,530 default before SIGSEGV'ing in
+# backend_compile).  Harmless no-op where /proc/sys is read-only — the
+# cache-clear guards below remain the unprivileged fallback.
+try:
+    with open("/proc/sys/vm/max_map_count") as _f:
+        _map_ceiling = int(_f.read())
+    if _map_ceiling < 262_144:
+        with open("/proc/sys/vm/max_map_count", "w") as _f:
+            _f.write("1048576")
+except OSError:
+    pass
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _bound_compiled_executable_maps():
     yield
     if _proc_maps_count() > 40_000:
+        jax.clear_caches()
+        gc.collect()
+
+
+@pytest.fixture(autouse=True)
+def _redline_executable_maps():
+    """Mid-module backstop: one heavy module (test_fast's serving-mode
+    sweeps) can add >15k mappings BETWEEN module boundaries, sailing past
+    the 40k module-scoped guard into the 65,530 ceiling — observed at 58k+
+    maps with ~96% system CPU (the kernel thrashing mmap) before any
+    boundary was reached.  Clearing ABOVE 50k costs a handful of in-module
+    recompiles; hitting the ceiling costs a SIGSEGV in backend_compile."""
+    yield
+    if _proc_maps_count() > 50_000:
         jax.clear_caches()
         gc.collect()

@@ -20,20 +20,79 @@ REF_SRC = "/root/reference/monoforce/src"
 
 
 def _stub_torchvision():
+    """Functional torchvision.transforms stand-ins (torchvision is not
+    installed).  The reference's data path actually USES these —
+    ``normalize_img``/``resize_img`` (terrain_encoder/utils.py:96-107) run
+    inside ``ROUGH.get_images_data`` — so identity stubs would fake the
+    head-to-head real-data parity tests.  Semantics match torchvision:
+    ToTensor (uint8 HWC -> f32 CHW / 255), Normalize ((x - mean) / std,
+    subclassable for the reference's NormalizeInverse), Resize (int size =
+    match the SHORTER edge, other edge ``int(size * long / short)``
+    truncated), ToPILImage (mul 255, byte() truncation)."""
     if "torchvision" in sys.modules:
         return
+    import torch
+    from PIL import Image
+
     tv = types.ModuleType("torchvision")
 
-    class _Transform:
+    class Compose:
+        def __init__(self, ts):
+            self.ts = list(ts)
+
+        def __call__(self, x):
+            for t in self.ts:
+                x = t(x)
+            return x
+
+    class ToTensor:
         def __init__(self, *a, **k):
             pass
 
-        def __call__(self, x):
-            return x
+        def __call__(self, pic):
+            arr = np.asarray(pic, dtype=np.uint8)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            t = torch.from_numpy(arr.copy()).permute(2, 0, 1).contiguous()
+            return t.to(torch.float32).div(255.0)
+
+    class Normalize:
+        def __init__(self, mean, std, inplace=False):
+            self.mean = torch.as_tensor(mean, dtype=torch.float32)
+            self.std = torch.as_tensor(std, dtype=torch.float32)
+
+        def __call__(self, t):
+            return (t - self.mean[:, None, None]) / self.std[:, None, None]
+
+    class ToPILImage:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, t):
+            arr = t.detach().mul(255).to(torch.uint8).permute(1, 2, 0).numpy()
+            return Image.fromarray(arr)
+
+    class Resize:
+        def __init__(self, size, interpolation=Image.BICUBIC, **k):
+            self.size = size
+            self.interpolation = interpolation
+
+        def __call__(self, img):
+            if isinstance(self.size, int):
+                w, h = img.size
+                short, long = (h, w) if h <= w else (w, h)
+                if short == self.size:
+                    return img
+                new_long = int(self.size * long / short)
+                nw, nh = ((new_long, self.size) if h <= w
+                          else (self.size, new_long))
+                return img.resize((nw, nh), self.interpolation)
+            h, w = self.size
+            return img.resize((w, h), self.interpolation)
 
     transforms = types.SimpleNamespace(
-        Normalize=_Transform, Compose=_Transform, ToTensor=_Transform,
-        ToPILImage=_Transform, Resize=_Transform)
+        Normalize=Normalize, Compose=Compose, ToTensor=ToTensor,
+        ToPILImage=ToPILImage, Resize=Resize)
     tv.transforms = transforms
     resnet_mod = types.ModuleType("torchvision.models.resnet")
     resnet_mod.resnet18 = None  # referenced by BevEncode, never built in tests
@@ -154,3 +213,30 @@ def load_reference_dphysics():
     # would otherwise hit the open3d loader.
     from monoforce.models.traj_predictor import dphysics as ref_dphys_mod
     return torch, ref_cfg_mod, ref_dphys_mod
+
+
+def load_reference_rough():
+    """Returns (torch, ref_cfg_mod, ref_rough, ref_utils_mod) with the REAL
+    reference dataset module (datasets/rough.py) importable — used by the
+    real-data head-to-head tests against the committed
+    ``config/data_sample`` sequences.  The torchvision stand-ins registered
+    here are FUNCTIONAL (see ``_stub_torchvision``), so the reference's
+    actual resize/normalize pipeline runs."""
+    _stub_misc()
+    _stub_torchvision()
+    if REF_SRC not in sys.path:
+        sys.path.insert(0, REF_SRC)
+    import torch
+    from monoforce_tpu import robots as tpu_robots
+    from monoforce.models.traj_predictor import dphys_config as ref_cfg_mod
+
+    def _points_from_repo(robot, voxel_size=0.1, return_mesh=False):
+        assert not return_mesh
+        pts = tpu_robots.robot_point_cloud(robot, voxel_size=voxel_size)
+        return torch.as_tensor(np.asarray(pts), dtype=torch.float32)
+
+    ref_cfg_mod.get_points_from_robot_mesh = _points_from_repo
+
+    from monoforce import utils as ref_utils_mod
+    from monoforce.datasets import rough as ref_rough
+    return torch, ref_cfg_mod, ref_rough, ref_utils_mod

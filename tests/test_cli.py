@@ -65,6 +65,42 @@ def test_train_cli_smoke(cli_env, tmp_path):
     assert os.path.isdir(os.path.join(log_dir, "train_best"))
 
 
+REF_SAMPLE = "/root/reference/monoforce/config/data_sample/marv"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_SAMPLE),
+                    reason="reference data sample not found")
+def test_run_cli_reference_mode_smoke(tmp_path):
+    """The reference run.py CLI contract (reference scripts/run.sh): raw
+    --img-paths + --calibration-path + --cameras, on the REAL marv sample
+    images.  Tiny final_dim keeps the CPU forward tractable."""
+    import glob
+
+    from monoforce_tpu.config import LSSConfig
+    from monoforce_tpu.utils.io import read_yaml
+
+    lss_dict = read_yaml(
+        "/root/reference/monoforce/config/lss_cfg.yaml")
+    lss_dict["data_aug_conf"]["final_dim"] = (32, 64)
+    lss_dict["grid_conf"]["dbound"] = [0.6, 3.0, 0.2]
+    cfg_path = str(tmp_path / "lss_small.yaml")
+    LSSConfig(data_aug_conf=lss_dict["data_aug_conf"],
+              grid_conf=lss_dict["grid_conf"]).to_yaml(cfg_path)
+
+    cams = ["camera_left", "camera_front", "camera_right", "camera_rear"]
+    img_paths = [glob.glob(os.path.join(REF_SAMPLE, "images", f"*_{c}.png"))[0]
+                 for c in cams]
+    out = str(tmp_path / "real_run.png")
+    r = _run_script("run.py", [
+        "--img-paths", *img_paths,
+        "--calibration-path", os.path.join(REF_SAMPLE, "calibration"),
+        "--cameras", *cams, "--lss_cfg_path", cfg_path,
+        "--robot", "marv", "--n_trajs", "8", "--out", out])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "best path:" in r.stdout
+    assert os.path.exists(out)
+
+
 def test_eval_cli_smoke(cli_env, tmp_path):
     data_root, cfg_path = cli_env
     out_dir = str(tmp_path / "eval")

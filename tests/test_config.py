@@ -1,5 +1,7 @@
 """Config and robot-geometry tests."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -107,3 +109,28 @@ def test_lss_config_defaults_and_yaml(tmp_path):
     lss.to_yaml(str(p))
     lss2 = LSSConfig.from_yaml(str(p))
     assert tuple(lss2.grid_conf["xbound"]) == (-6.4, 6.4, 0.1)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/monoforce/config"),
+    reason="reference configs not found")
+def test_lss_config_loads_both_reference_yamls():
+    """Both committed reference configs load as-is: the full
+    ``lss_cfg.yaml`` and the PARTIAL ``lss_cfg_resize.yaml`` variant
+    (H/W 300x480, no aug-limit or soft-class keys — reference
+    config/lss_cfg_resize.yaml), whose val-mode augmentation must still
+    sample (val mode touches only bot_pct_lim/final_dim)."""
+    from monoforce_tpu.datasets.augment import sample_augmentation
+
+    full = LSSConfig.from_yaml("/root/reference/monoforce/config/lss_cfg.yaml")
+    assert full.data_aug_conf["H"] == 1200 and full.data_aug_conf["W"] == 1920
+    assert tuple(full.data_aug_conf["final_dim"]) == (256, 416)
+
+    rsz = LSSConfig.from_yaml(
+        "/root/reference/monoforce/config/lss_cfg_resize.yaml")
+    assert rsz.data_aug_conf["H"] == 300 and rsz.data_aug_conf["W"] == 480
+    assert "resize_lim" not in rsz.data_aug_conf
+    resize, dims, crop, flip, rot = sample_augmentation(
+        {"data_aug_conf": rsz.data_aug_conf}, is_train=False)
+    assert dims == (int(480 * resize), int(300 * resize))
+    assert not flip and rot == 0.0

@@ -334,12 +334,21 @@ class ROUGH:
         if os.path.exists(fpath):
             K = np.asarray(self.calib[camera]["camera_matrix"]["data"],
                            dtype=np.float32).reshape(3, 3)
-            return Image.open(fpath), K
+            # decode eagerly inside the context so the fd is closed (a
+            # lazily-open handle per camera per frame leaks fds over an
+            # epoch)
+            with Image.open(fpath) as im:
+                im.load()
+                return im, K
         img, K = self.get_image(i, camera)
         img = resize_img(img)
         try:
+            # write-then-rename so an interrupted save can never leave a
+            # truncated PNG behind the exists() check above
             os.makedirs(cache_dir, exist_ok=True)
-            img.save(fpath)
+            tmp = fpath + f".tmp{os.getpid()}"
+            img.save(tmp, format="PNG")
+            os.replace(tmp, fpath)
         except OSError:
             pass
         return img, K

@@ -218,9 +218,9 @@ def _step_math(cst, patch, state, tv, sxy, pts, n_k, gather, reduce_lanes,
     vn = vx * nx + vy * ny + vz * nz
     scale = -(stiff * dh + damp * vn)
     (n_cp,) = reduce_lanes([contact])
-    # guard the reference's unguarded 0/0 at exactly-zero contact (see
+    # guard the reference's unguarded 0/0 at exactly-zero contact ONLY (see
     # physics/fast.py) — n_cp stays the raw sum in the stats output
-    cs = scale * contact / jnp.maximum(n_cp, 1e-20)
+    cs = scale * contact / jnp.where(n_cp > 0, n_cp, 1.0)
     mg = m * g
     fsx = jnp.clip(cs * nx, -mg, mg)
     fsy = jnp.clip(cs * ny, -mg, mg)
@@ -467,10 +467,7 @@ def pack_points_pair(robot) -> jax.Array:
 def _unpack_pair(word, hs):
     """A packed f32 word holds two bf16 values: the A-half trajectory's in
     the high 16 bits, the B-half's in the low 16.  Select per lane half."""
-    ui = lax.bitcast_convert_type(word, jnp.uint32)
-    a = lax.bitcast_convert_type(ui & jnp.uint32(0xFFFF0000), jnp.float32)
-    b = lax.bitcast_convert_type(ui << 16, jnp.float32)
-    return jnp.where(hs, a, b)
+    return jnp.where(hs, _unpack_hi(word), _unpack_lo(word))
 
 
 def _step_math_pair(cst, patch, state2, tv2, sxy2, pts, n_k, gather2,
@@ -574,7 +571,7 @@ def _step_math_pair(cst, patch, state2, tv2, sxy2, pts, n_k, gather2,
     ((ncp_a, ncp_b),) = reduce_halves([contact])
     n_cp = jnp.where(hs, ncp_a, ncp_b)
     # same exactly-zero-contact guard as _step_math / physics/fast.py
-    cs = scale * contact / jnp.maximum(n_cp, 1e-20)
+    cs = scale * contact / jnp.where(n_cp > 0, n_cp, 1.0)
     mg = m * g
     fsx = jnp.clip(cs * nx, -mg, mg)
     fsy = jnp.clip(cs * ny, -mg, mg)

@@ -255,9 +255,13 @@ def forward_kinematics(robot: RobotModel, z_grid, friction,
     # sits > ~8.9 m above the terrain, sigmoid underflows to exactly 0 for
     # every point and the reference NaNs (then crashes on the NaN loss,
     # train.py:161-163).  Garbage early-training terrain predictions reach
-    # that regime; the eps only changes the exact-0 case (no contact -> no
-    # force) and is far below any non-underflowed contact sum.
-    f_spring = f_spring * in_contact[:, None] / jnp.maximum(n_contacts, 1e-20)
+    # that regime.  The guard substitutes the denominator ONLY at exactly
+    # zero (0/1 = 0: no contact -> no force); any nonzero sum — f32 contact
+    # sums stay >= ~1e-38 down to dh ~ 8.9 m — divides bit-exactly like the
+    # reference (an earlier max(n, 1e-20) clamp zeroed forces over the
+    # reachable 5-9 m band).
+    f_spring = (f_spring * in_contact[:, None]
+                / jnp.where(n_contacts > 0, n_contacts, 1.0))
     f_spring = jnp.clip(f_spring, -m * g, m * g)
 
     # velocity-based Coulomb-style friction (dphysics.py:236-252)
@@ -566,11 +570,23 @@ class DPhysics:
             # Reference-default integrator (dphys_config.py:153).  Effective
             # step from the linspace ts grid (dphysics.py:167): the grid has
             # int(T/dt) points over [0, T], truncation keeps the spacing.
+            # The odeint path carries forces INSIDE the extended state
+            # (dphysics.py:499-528), so its `forces` are time-INTEGRATED
+            # impulses — not the instantaneous forces of the euler branch —
+            # and per-step extras cannot be tapped; fail loudly instead of
+            # silently changing the return contract.
+            if extras_fn is not None:
+                raise ValueError(
+                    "extras_fn is not supported with use_odeint=True: the "
+                    "reference's odeint integrator exposes no per-step tap "
+                    "(dphysics.py:499-528); set cfg.use_odeint=False")
             n_full = self.cfg.n_sim_steps
             dt_eff = self.cfg.traj_sim_time / max(n_full - 1, 1)
             states, forces = rollout_odeint(
                 self.robot, z_grid, controls, joint_angles=joint_angles,
                 state0=state0, friction=friction, dt=dt_eff)
+            if not return_forces:
+                return states, None
             return states, forces
         states, forces, extras = rollout(
             self.robot, z_grid, controls, joint_angles=joint_angles,

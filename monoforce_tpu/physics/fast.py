@@ -379,9 +379,11 @@ def _step(robot: RobotModel, c: _Consts, windows, st, tv_t, ja_t, integ, dt,
     # the reference divides unguarded (dphysics.py:231-232) and NaNs when the
     # body is far enough above the terrain that sigmoid underflows to exactly
     # 0 for EVERY point (dh > ~8.9 m in f32) — reachable through garbage
-    # early-training terrain predictions.  The guard only changes that
-    # exact-0 case (0/eps = 0: no contact, no force).
-    cs = scale * contact / jnp.maximum(n_cp, 1e-20)
+    # early-training terrain predictions.  Substitute the denominator ONLY
+    # at exactly zero (0/1 = 0: no contact, no force); nonzero sums divide
+    # bit-exactly like the reference — an eps clamp would zero forces over
+    # the reachable dh ~ 5-9 m band where the contact sum is tiny but real.
+    cs = scale * contact / jnp.where(n_cp > 0, n_cp, 1.0)
     mg = m * g
     fsx = jnp.clip(cs * nx, -mg, mg)
     fsy = jnp.clip(cs * ny, -mg, mg)
@@ -720,58 +722,57 @@ def planner_rollout(robot: RobotModel, z_grid, controls,
               + state18[:, 11:12] * c.pz + x1)
         return wx, wy
 
-    def run_block(state18, tvs):
-        wx, wy = _world_xy18(state18)
-        sxy, patch1 = _extract_windows_packed1(
-            z_grid, friction, wx, wy, robot.d_max, robot.grid_res)
-        states_k, stats_k = [], []
-        for k in range(tvs.shape[0]):
-            acc8 = fk_step_packed(cst, patch1, state18, tvs[k], sxy, pts)
-            state18 = integrate(state18, acc8)
-            states_k.append(state18)
-            stats_k.append(acc8)   # sliced AFTER stacking (relayout once)
-        return state18, (jnp.stack(states_k), jnp.stack(stats_k))
+    def _make_run_block(extract, step):
+        """One block = refresh windows once, then ``refresh`` fused steps.
+        The three serving modes share the carry/stats discipline — carry
+        stays (B, 18) across steps ((B/2, ...) views only at the kernel
+        boundary: carrying the pair layout THROUGH integration was tried
+        and reverted, +0.7 ms/batch, docs/PERFORMANCE.md "negative
+        results"), and stats are sliced AFTER stacking (relayout once)."""
+        def run_block(state18, tvs):
+            wx, wy = _world_xy18(state18)
+            windows = extract(wx, wy)
+            states_k, stats_k = [], []
+            for k in range(tvs.shape[0]):
+                acc8 = step(windows, state18, tvs[k])
+                state18 = integrate(state18, acc8)
+                states_k.append(state18)
+                stats_k.append(acc8)
+            return state18, (jnp.stack(states_k), jnp.stack(stats_k))
+        return run_block
 
-    def run_block_pair(state18, tvs):
-        # Carry stays (B, 18); the kernel sees (B/2, 36) via per-step
-        # reshapes.  Carrying the pair layout THROUGH integration was tried
-        # and reverted (+0.7 ms/batch): the pair-layout Rodrigues/Euler ops
-        # cost more than the (B,18)<->(B/2,36) HBM relayouts they replace
-        # (docs/PERFORMANCE.md "negative results").
-        wx, wy = _world_xy18(state18)
+    def _extract_single(wx, wy):
+        return _extract_windows_packed1(z_grid, friction, wx, wy,
+                                        robot.d_max, robot.grid_res)
+
+    def _step_single(windows, state18, tv_k):
+        sxy, patch1 = windows
+        return fk_step_packed(cst, patch1, state18, tv_k, sxy, pts)
+
+    def _extract_pair(wx, wy):
         sxy, patch2 = _extract_windows_packed(
             z_grid, friction, wx, wy, robot.d_max, robot.grid_res)
-        sxy2 = sxy.reshape(-1, 4)            # per-refresh relayouts only
-        states_k, stats_k = [], []
-        for k in range(tvs.shape[0]):
-            acc8 = fk_step_pair(cst, patch2, state18.reshape(-1, 36),
-                                tvs[k].reshape(-1, 16), sxy2, pts,
-                                n_k=robot.n_tracks).reshape(-1, 8)
-            state18 = integrate(state18, acc8)
-            states_k.append(state18)
-            stats_k.append(acc8)   # sliced AFTER stacking (relayout once)
-        return state18, (jnp.stack(states_k), jnp.stack(stats_k))
+        return sxy.reshape(-1, 4), patch2    # per-refresh relayouts only
 
-    def run_block_pair3(state18, tvs):
-        # Same carry discipline as run_block_pair: (B, 18) across steps,
-        # (B/2, ...) views only at the kernel boundary.  Each trajectory's
-        # packed [z|mu] window comes from the single-trajectory extractor;
-        # the (B, 256) -> (B/2, 512) reshape concatenates the pair's
-        # windows into the kernel's [w_A | w_B] row layout.
-        wx, wy = _world_xy18(state18)
+    def _step_pair(windows, state18, tv_k):
+        sxy2, patch2 = windows
+        return fk_step_pair(cst, patch2, state18.reshape(-1, 36),
+                            tv_k.reshape(-1, 16), sxy2, pts,
+                            n_k=robot.n_tracks).reshape(-1, 8)
+
+    def _extract_pair3(wx, wy):
+        # each trajectory's packed [z|mu] window comes from the
+        # single-trajectory extractor; the (B, 256) -> (B/2, 512) reshape
+        # concatenates the pair's windows into the kernel's [w_A | w_B] rows
         sxy, patch1 = _extract_windows_packed1(
             z_grid, friction, wx, wy, robot.d_max, robot.grid_res)
-        patch2 = patch1.reshape(-1, 512)
-        sxy2 = sxy.reshape(-1, 4)            # per-refresh relayouts only
-        states_k, stats_k = [], []
-        for k in range(tvs.shape[0]):
-            acc8 = fk_step_pair3(cst, patch2, state18.reshape(-1, 36),
-                                 tvs[k].reshape(-1, 16), sxy2, pts,
-                                 n_k=robot.n_tracks).reshape(-1, 8)
-            state18 = integrate(state18, acc8)
-            states_k.append(state18)
-            stats_k.append(acc8)   # sliced AFTER stacking (relayout once)
-        return state18, (jnp.stack(states_k), jnp.stack(stats_k))
+        return sxy.reshape(-1, 4), patch1.reshape(-1, 512)
+
+    def _step_pair3(windows, state18, tv_k):
+        sxy2, patch2 = windows
+        return fk_step_pair3(cst, patch2, state18.reshape(-1, 36),
+                             tv_k.reshape(-1, 16), sxy2, pts,
+                             n_k=robot.n_tracks).reshape(-1, 8)
 
     # (N, B, 8) zero-padded track velocities (kernel uses the first 4 lanes)
     tv_t = jnp.swapaxes(track_vels, 0, 1)
@@ -786,11 +787,11 @@ def planner_rollout(robot: RobotModel, z_grid, controls,
 
     carry = state18
     if pair:
-        block_fn = run_block_pair
+        block_fn = _make_run_block(_extract_pair, _step_pair)
     elif pair3:
-        block_fn = run_block_pair3
+        block_fn = _make_run_block(_extract_pair3, _step_pair3)
     else:
-        block_fn = run_block
+        block_fn = _make_run_block(_extract_single, _step_single)
 
     parts = []
     if n_blocks > 0:

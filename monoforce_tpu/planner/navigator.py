@@ -27,7 +27,7 @@ engine segment).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -52,8 +52,10 @@ class NavigationResult(NamedTuple):
     commands: np.ndarray     # (T, 2) follower (v, w) commands
     times: np.ndarray        # (T,)
     plans: list              # [(t, paths (B, N, 3), costs (B,), best)]
-    statuses: list = []      # supervisor status per tick ('follow', 'waiting',
-    #                          'force_through', 'backtrack', 'idle', 'done')
+    # supervisor status per tick ('follow', 'waiting', 'force_through',
+    # 'backtrack', 'idle', 'done').  Default is an (immutable) empty tuple —
+    # a `[]` default on a NamedTuple is CLASS-level shared state.
+    statuses: Sequence[str] = ()
 
 
 def _pose_from_state(state: RigidState) -> jnp.ndarray:

@@ -77,18 +77,16 @@ def main():
         lambda a: a.astype(jnp.bfloat16)
         if a.dtype == jnp.float32 else a, t)
 
-    def cam_only_bf16(t):
-        # bf16 camera trunk (the 256x416 work), f32 BEV encoder + heads
-        out = {}
-        for col, sub in t.items():       # params / batch_stats
-            out[col] = {k: (to_bf16(v) if k == "camencode" else v)
-                        for k, v in sub.items()}
-        return out
+    # the cam_bf16 policy IS the shipped serving mode — measure the exact
+    # library code path, not a local re-implementation that could drift
+    from monoforce_tpu.models.terrain_encoder.lss import (
+        half_inference_variables,
+    )
 
     policies = {
         "f32": (variables, lambda x: x),
         "bf16": (to_bf16(variables), lambda x: x.astype(jnp.bfloat16)),
-        "cam_bf16": (cam_only_bf16(variables),
+        "cam_bf16": (half_inference_variables(variables),
                      lambda x: x.astype(jnp.bfloat16)),
     }
 

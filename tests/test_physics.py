@@ -298,3 +298,41 @@ class TestQuirksAndFuzz:
             controls = rng.uniform(-1, 1, (n, 2)).astype(np.float32)
             states, _, ref = _run_both(cfg, z, controls, n)
             assert _rmse(states.x[0], ref["Xs"]) < 1e-3, (trial, cfg.robot)
+
+    def test_tiny_contact_band_matches_unguarded_reference(self, cfg):
+        """dh ~ 5-9 m above terrain: every sigmoid contact is tiny but
+        NONZERO in f32 (exp(10*dh) overflows only past dh ~ 8.9 m), and the
+        reference's unguarded division (dphysics.py:231-232) yields full
+        clipped spring forces.  The engine's 0/0 guard must substitute the
+        denominator ONLY at exactly zero — an eps clamp (the old
+        max(n, 1e-20)) silently zeroed forces over this reachable band
+        (predicted-terrain cliffs put airborne rollouts here)."""
+        from monoforce_tpu.physics.engine import forward_kinematics
+
+        robot = RobotModel.from_config(cfg)
+        z = jnp.zeros(cfg.grid_shape, jnp.float32)
+        mu = jnp.ones(cfg.grid_shape, jnp.float32)
+        state = RigidState(
+            x=jnp.array([0.0, 0.0, 6.0]), xd=jnp.zeros(3),
+            R=jnp.eye(3), omega=jnp.zeros(3))
+        (_, xdd, _), (F_s, _) = forward_kinematics(
+            robot, z, mu, state, jnp.array([1.0, 0.0]), jnp.zeros(4))
+
+        # reference math in f64: per-point spring scaled by contact/n_cp
+        pts = np.asarray(robot.points, np.float64)
+        dh = pts[:, 2] + 6.0
+        contact = 1.0 / (1.0 + np.exp(10.0 * dh))
+        assert contact.sum() > 0  # the band IS nonzero contact
+        scale = -(float(robot.stiffness) * dh)          # vn = 0
+        f_z = scale * contact / contact.sum()           # normal = +z
+        mg = float(robot.mass) * float(robot.gravity)
+        f_z = np.clip(f_z, -mg, mg)
+        np.testing.assert_allclose(np.asarray(F_s[:, 2]), f_z, rtol=1e-3)
+        assert abs(float(np.asarray(F_s[:, 2]).sum())) > 100.0  # not ~0
+
+        # fully underflowed (dh > ~8.9 m): zero contact -> zero force, no NaN
+        state10 = state._replace(x=jnp.array([0.0, 0.0, 10.0]))
+        (_, xdd10, _), (F_s10, F_f10) = forward_kinematics(
+            robot, z, mu, state10, jnp.array([1.0, 0.0]), jnp.zeros(4))
+        assert np.isfinite(np.asarray(xdd10)).all()
+        np.testing.assert_array_equal(np.asarray(F_s10), 0.0)

@@ -274,6 +274,28 @@ class LSSConfig:
     downsample: int = 16
 
     @classmethod
+    def preset(cls, name: str) -> "LSSConfig":
+        """Named presets matching the two committed reference configs:
+
+        - ``default``: the offline/training geometry (lss_cfg.yaml —
+          1200x1920 raw images, train-time augmentation limits),
+        - ``resize``: the ONLINE geometry (lss_cfg_resize.yaml + the
+          img_preproc.launch 480x300 resize nodelets) — raw images arrive
+          pre-resized to 300x480 and the aug-limit keys are absent (val-mode
+          augmentation touches only bot_pct_lim/final_dim).
+        """
+        if name == "default":
+            return cls()
+        if name == "resize":
+            return cls(data_aug_conf={
+                "H": 300, "W": 480,
+                "final_dim": (256, 416),
+                "bot_pct_lim": (0.0, 0.0),
+            })
+        raise ValueError(f"unknown LSS preset {name!r} "
+                         "(expected 'default' or 'resize')")
+
+    @classmethod
     def from_yaml(cls, path: str) -> "LSSConfig":
         with open(path, "r") as f:
             params = yaml.safe_load(f)

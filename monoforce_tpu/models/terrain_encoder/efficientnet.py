@@ -83,21 +83,29 @@ class MBConv(nn.Module):
 
 
 class EfficientNetB0(nn.Module):
-    """B0 trunk returning the /16 and /32 endpoints."""
+    """B0 trunk returning the /16 and /32 endpoints.
+
+    ``stages`` defaults to the full B0 table; a shorter table builds a
+    reduced trunk through the SAME code path (used by the driver's
+    multichip dryrun, where compiling all 16 MBConv blocks on one CPU core
+    blows the time budget — the sharding evidence doesn't need B0's depth).
+    """
 
     drop_connect_rate: float = 0.2
+    stages: Sequence[Tuple[int, int, int, int, int]] = B0_STAGES
+    stem_ch: int = 32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         # stem
-        h = nn.Conv(32, (3, 3), strides=(2, 2), use_bias=False)(x)
+        h = nn.Conv(self.stem_ch, (3, 3), strides=(2, 2), use_bias=False)(x)
         h = nn.BatchNorm(use_running_average=not train, **_BN)(h)
         h = swish(h)
 
         endpoints = {}
         prev = h
-        idx, total = 0, sum(s[-1] for s in B0_STAGES)
-        for (expand, k, stride, out_ch, repeats) in B0_STAGES:
+        idx, total = 0, sum(s[-1] for s in self.stages)
+        for (expand, k, stride, out_ch, repeats) in self.stages:
             for r in range(repeats):
                 s = stride if r == 0 else 1
                 h = MBConv(out_ch, k, s, expand,

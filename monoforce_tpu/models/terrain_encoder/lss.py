@@ -68,16 +68,27 @@ def half_inference_variables(variables):
 
 
 class CamEncode(nn.Module):
-    """Per-camera feature + depth-distribution encoder (lss.py:49-99)."""
+    """Per-camera feature + depth-distribution encoder (lss.py:49-99).
+
+    ``trunk_stages``/``up_ch`` default to the reference's EfficientNet-B0 +
+    512-channel Up fusion; shorter stage tables build a reduced trunk
+    through the same code path (the driver's multichip dryrun uses this —
+    the sharding evidence doesn't need B0's compile cost on one CPU core).
+    """
 
     D: int
     C: int
+    trunk_stages: Any = None
+    up_ch: int = 512
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         """x: (B*, H, W, 3) -> (B*, fH, fW, D, C) lifted features."""
-        endpoints = EfficientNetB0()(x, train)
-        h = Up(512)(endpoints["reduction_5"], endpoints["reduction_4"], train)
+        trunk = (EfficientNetB0() if self.trunk_stages is None
+                 else EfficientNetB0(stages=tuple(self.trunk_stages)))
+        endpoints = trunk(x, train)
+        keys = sorted(endpoints, key=lambda k: int(k.rsplit("_", 1)[1]))
+        h = Up(self.up_ch)(endpoints[keys[-1]], endpoints[keys[-2]], train)
         h = nn.Conv(self.D + self.C, (1, 1))(h)
         depth = nn.softmax(h[..., :self.D], axis=-1)        # (B*, fH, fW, D)
         ctx = h[..., self.D:self.D + self.C]                 # (B*, fH, fW, C)
@@ -92,6 +103,8 @@ class LiftSplatShoot(nn.Module):
     outC: int = 1
     camC: int = 64
     downsample: int = 16
+    trunk_stages: Any = None    # reduced camera trunk (see CamEncode)
+    cam_up_ch: int = 512
 
     def setup(self):
         dx, bx, nx = gen_dx_bx(self.grid_conf["xbound"],
@@ -102,7 +115,9 @@ class LiftSplatShoot(nn.Module):
                                       self.grid_conf["dbound"],
                                       self.downsample)
         self.D = int(self.frustum.shape[0])
-        self.camencode = CamEncode(self.D, self.camC)
+        self.camencode = CamEncode(self.D, self.camC,
+                                   trunk_stages=self.trunk_stages,
+                                   up_ch=self.cam_up_ch)
         self.bevencode = BevEncode(self.outC)
 
     def get_cam_feats(self, imgs, train: bool = False):

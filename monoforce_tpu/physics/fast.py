@@ -66,7 +66,7 @@ from jax import lax
 
 from monoforce_tpu.physics.engine import RigidState, RobotModel, _default_state0
 
-__all__ = ["fast_rollout", "planner_rollout", "fused_rollout", "StepStats"]
+__all__ = ["fast_rollout", "planner_rollout", "StepStats"]
 
 _HI = lax.Precision.HIGHEST
 _PATCH = 16
@@ -825,106 +825,4 @@ def planner_rollout(robot: RobotModel, z_grid, controls,
                             jnp.sqrt(Rs[..., 2, 1] ** 2 + Rs[..., 2, 2] ** 2))
         stats = StepStats(jnp.swapaxes(s_std, 0, 1),
                           jnp.abs(roll), jnp.abs(pitch))
-    return states, stats
-
-
-@functools.partial(jax.jit, static_argnames=())
-def fused_rollout(robot: RobotModel, z_grid, controls,
-                  state0: Optional[RigidState] = None, friction=None):
-    """Rollout on the fully-fused block kernel (see physics/fused_block.py)
-    — EXPERIMENTAL; measured SLOWER than :func:`fast_rollout` after the lean
-    rewrite (the fast path's per-step Pallas call + XLA fusions beat the
-    monolithic kernel's serialized programs), retained as a development
-    vehicle.
-
-    Requirements (falls back to :func:`fast_rollout` otherwise): TPU backend,
-    B a multiple of 512, <= 128 contact points, euler integration, default
-    gravity direction, no flipper articulation.  Returns
-    (states, StepStats) like ``fast_rollout(with_stats=True)``.
-    """
-    from monoforce_tpu.physics.fused_block import (
-        BLOCK_STEPS, fused_block_steps,
-    )
-    from monoforce_tpu.physics.controls import vw_to_track_vels
-
-    controls = jnp.asarray(controls, jnp.float32)
-    z_grid = jnp.asarray(z_grid, jnp.float32)
-    B, N = controls.shape[0], controls.shape[1]
-    P = robot.points.shape[0]
-    if (jax.default_backend() != "tpu" or B % 512 != 0 or P > 128
-            or robot.integration_mode != "euler"):
-        return fast_rollout.__wrapped__(robot, z_grid, controls,
-                                        state0=state0, friction=friction)
-    if friction is None:
-        friction = jnp.ones_like(z_grid)
-    if state0 is None:
-        state0 = _default_state0(controls)
-
-    # settle (same as fast_rollout)
-    from monoforce_tpu.ops.interp_pallas import fk_interp
-    c = _make_consts(robot)
-    st = _unpack_state(state0)
-    wx0, wy0 = _world_xy(c, st, c.px, c.py, c.pz)
-    sxy0, patch0 = _extract_windows(z_grid, friction, wx0, wy0,
-                                    robot.d_max, robot.grid_res)
-    z0 = fk_interp(patch0, wx0, wy0, sxy0, c.cst)[:, :wx0.shape[1]]
-    st = st[:2] + (jnp.sum(z0 * c.maskv, axis=1) / c.n_real,) + st[3:]
-    state18 = jnp.stack(st, axis=1)                      # (B, 18)
-
-    # constant inputs
-    pad = 128 - P
-    def padp(a):
-        return jnp.pad(jnp.asarray(a, jnp.float32), (0, pad))
-    mask = padp(jnp.ones((P,)))[None]                    # (1, 128)
-    masks = robot.driving_masks                          # (K, P)
-    if masks.shape[0] == 2:
-        cmd_l, cmd_r = masks[0], masks[1]
-    else:  # fl, fr, rl, rr with vl on left pair, vr on right pair
-        cmd_l, cmd_r = masks[0] + masks[2], masks[1] + masks[3]
-    pts = jnp.stack([padp(robot.points[:, 0]), padp(robot.points[:, 1]),
-                     padp(robot.points[:, 2]), padp(cmd_l), padp(cmd_r),
-                     jnp.zeros(128), jnp.zeros(128), jnp.zeros(128)])
-    ii = robot.inertia_inv
-    scal = jnp.stack([
-        robot.mass, robot.gravity, robot.stiffness, robot.damping, robot.dt,
-        robot.omega_max, robot.d_max, 1.0 / robot.grid_res,
-        jnp.float32(P), ii[0, 0], ii[0, 1], ii[0, 2], ii[1, 1], ii[1, 2],
-        ii[2, 2], jnp.float32(0.0),
-    ])
-
-    # (vl, vr) per step; front/rear pairs are identical for K=4
-    tv = vw_to_track_vels(controls[..., 0], controls[..., 1],
-                          robot.robot_size, 2)           # (B, N, 2)
-    n_pad = (-N) % BLOCK_STEPS
-    if n_pad:
-        tv = jnp.concatenate([tv, jnp.repeat(tv[:, -1:], n_pad, axis=1)], 1)
-    n_blocks = tv.shape[1] // BLOCK_STEPS
-    tv_blocks = tv.reshape(B, n_blocks, BLOCK_STEPS * 2).transpose(1, 0, 2)
-
-    def block(state18, tv_b):
-        # window extraction at the block's starting positions (XLA side)
-        stt = tuple(state18[:, j] for j in range(18))
-        wx, wy = _world_xy(c, stt, c.px, c.py, c.pz)
-        sxy, windows = _extract_windows(z_grid, friction, wx, wy,
-                                        robot.d_max, robot.grid_res)
-        new18, out = fused_block_steps(scal, windows, tv_b, state18,
-                                       sxy.astype(jnp.int32), mask, pts)
-        return new18, out
-
-    _, outs = lax.scan(block, state18, tv_blocks)        # (nb, B, S*32)
-    outs = outs.reshape(n_blocks, B, BLOCK_STEPS, 32)
-    outs = outs.transpose(1, 0, 2, 3).reshape(B, n_blocks * BLOCK_STEPS, 32)
-    outs = outs[:, :N]
-
-    xs = outs[..., 0:3]
-    xds = outs[..., 3:6]
-    Rs = outs[..., 6:15].reshape(B, N, 3, 3)
-    omegas = outs[..., 15:18]
-    delta_h = robot.mass * robot.gravity / (robot.stiffness + 1e-6)
-    xs = xs + Rs[..., :, 2] * delta_h
-    states = RigidState(xs, xds, Rs, omegas)
-    roll = jnp.arctan2(Rs[..., 2, 1], Rs[..., 2, 2])
-    pitch = jnp.arctan2(-Rs[..., 2, 0],
-                        jnp.sqrt(Rs[..., 2, 1] ** 2 + Rs[..., 2, 2] ** 2))
-    stats = StepStats(outs[..., 18], jnp.abs(roll), jnp.abs(pitch))
     return states, stats

@@ -84,6 +84,11 @@ def main():
                    help="camera names matching --img-paths order")
     p.add_argument("--lss_cfg_path", type=str, default=None,
                    help="LSS config YAML (defaults to built-in config)")
+    p.add_argument("--lss_preset", type=str, default="default",
+                   choices=("default", "resize"),
+                   help="named encoder geometry: 'default' (lss_cfg.yaml) "
+                        "or 'resize' (the online 480x300 "
+                        "lss_cfg_resize.yaml / img_preproc.launch pipeline)")
     p.add_argument("--index", type=int, default=0)
     p.add_argument("--robot", type=str, default="tradr")
     p.add_argument("--checkpoint", type=str, default=None)
@@ -106,7 +111,7 @@ def main():
     dphys_cfg = PhysicsConfig(robot=args.robot)
     dphys_cfg.n_sim_trajs = args.n_trajs
     lss_cfg = (LSSConfig.from_yaml(args.lss_cfg_path)
-               if args.lss_cfg_path else LSSConfig())
+               if args.lss_cfg_path else LSSConfig.preset(args.lss_preset))
     if args.img_paths is not None:
         data = _inputs_from_images(args.img_paths, args.calibration_path,
                                    args.cameras, lss_cfg)

@@ -11,6 +11,10 @@ from monoforce_tpu.robots import (
 )
 
 
+
+# whole module is part of the fast pre-commit smoke tier
+pytestmark = pytest.mark.smoke
+
 def test_presets_build():
     for robot in ("tradr", "marv", "husky"):
         cfg = PhysicsConfig(robot=robot)

@@ -205,3 +205,50 @@ def test_full_resolution_shapes_via_eval_shape():
         lambda v, *a: model.apply(v, *a), model_vars, *args)
     for k in ("geom", "terrain", "diff", "friction"):
         assert out[k].shape == (B, 1, 128, 128)
+
+
+def test_lss_resize_preset_online_contract():
+    """The ONLINE encoder geometry (reference lss_cfg_resize.yaml +
+    img_preproc.launch: raw frames pre-resized to 480x300): the named
+    preset's val-mode augmentation maps a 480x300 frame to the (256, 416)
+    model input, and the model traced at that geometry produces the same
+    128x128 BEV heads as the offline config (the two reference configs
+    share grid_conf)."""
+    from PIL import Image
+
+    from monoforce_tpu.config import LSSConfig
+    from monoforce_tpu.datasets.augment import (
+        img_transform, normalize_img, sample_augmentation,
+    )
+    from monoforce_tpu.models import LiftSplatShoot
+
+    lss_cfg = LSSConfig.preset("resize")
+    assert lss_cfg.data_aug_conf["H"] == 300
+    assert lss_cfg.data_aug_conf["W"] == 480
+    # val-mode aug on the pre-resized online frame
+    img = Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (300, 480, 3),
+                                          dtype=np.uint8))
+    aug = sample_augmentation({"data_aug_conf": lss_cfg.data_aug_conf},
+                              is_train=False)
+    out, post_rot2, post_tran2 = img_transform(
+        img, np.eye(2, dtype=np.float32), np.zeros(2, dtype=np.float32),
+        *aug)
+    arr = normalize_img(out)
+    assert arr.shape == (3, 256, 416), arr.shape
+    assert np.isfinite(np.asarray(post_rot2)).all()
+
+    model = LiftSplatShoot(lss_cfg.grid_conf, lss_cfg.data_aug_conf)
+    B, N = 1, 4
+    args = (
+        jnp.zeros((B, N, 3, 256, 416)),
+        jnp.broadcast_to(jnp.eye(3), (B, N, 3, 3)),
+        jnp.zeros((B, N, 3)),
+        jnp.broadcast_to(jnp.eye(3), (B, N, 3, 3)),
+        jnp.broadcast_to(jnp.eye(3), (B, N, 3, 3)),
+        jnp.zeros((B, N, 3)),
+    )
+    model_vars = jax.eval_shape(model.init, jax.random.PRNGKey(0), *args)
+    out = jax.eval_shape(lambda v, *a: model.apply(v, *a), model_vars, *args)
+    for k in ("geom", "terrain", "diff", "friction"):
+        assert out[k].shape == (B, 1, 128, 128)

@@ -106,21 +106,6 @@ def test_fast_marv_and_husky(robot):
                                    atol=2e-3)
 
 
-def test_fused_rollout_fallback_and_api(robot):
-    """fused_rollout falls back to fast_rollout off-TPU / on unsupported
-    configs; API mirrors fast_rollout. (The TPU kernel itself was verified
-    on-device: trajectory RMSE 1.4e-5 vs fast_rollout at B=512.)"""
-    from monoforce_tpu.physics.fast import fused_rollout
-    B, N = 8, 20
-    z = jnp.zeros((128, 128))
-    ctr = jnp.tile(jnp.asarray([[0.5, 0.1]]), (B, N, 1))
-    s_fu, st_fu = fused_rollout(robot, z, ctr)
-    s_fa, st_fa = fast_rollout(robot, z, ctr)
-    np.testing.assert_allclose(np.asarray(s_fu.x), np.asarray(s_fa.x),
-                               atol=1e-5)
-    assert st_fu.spring_std.shape == (B, N)
-
-
 def test_planner_rollout_matches_fast(robot):
     """planner_rollout (fused step kernel + vectorized integration; packed
     single mode at the default 0.11 m preset) vs fast_rollout on per-batch

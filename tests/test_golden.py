@@ -107,6 +107,14 @@ def test_odeint_matches_reference(name):
     assert _rmse(np.asarray(ff)[:, ::k], d["F_friction"]) / peak < F_RTOL, name
 
 
+@pytest.mark.smoke
+def test_smoke_golden_one_case():
+    """Smoke tier: one golden parity case against the real reference engine
+    (the full 13-case sweep runs in the nightly suite)."""
+    test_engine_matches_reference("tradr_hill")
+
+
+@pytest.mark.smoke
 def test_golden_dataset_present():
     """The golden set covers both robots, 4+ terrains each, and both
     reference integrators."""

@@ -3,11 +3,17 @@
 import jax.numpy as jnp
 import numpy as np
 
+import pytest
+
 from monoforce_tpu.losses import (
     hm_loss, physics_loss, rotation_difference, translation_difference,
     total_variation, slerp,
 )
 
+
+
+# whole module is part of the fast pre-commit smoke tier
+pytestmark = pytest.mark.smoke
 
 def test_hm_loss_zero_for_identical():
     h = jnp.asarray(np.random.default_rng(0).normal(size=(2, 1, 16, 16)).astype(np.float32))

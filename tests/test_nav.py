@@ -10,6 +10,7 @@ from monoforce_tpu.planner import (
 )
 from monoforce_tpu.ops.heightmap import inpaint_heightmap, local_heightmap
 from monoforce_tpu.utils import append_to_csv, write_to_csv
+import pytest
 
 
 def _straight_paths():
@@ -20,6 +21,7 @@ def _straight_paths():
     return jnp.asarray(np.stack([fwd, left, back]))
 
 
+@pytest.mark.smoke
 def test_select_against_route_prefers_waypoint_direction():
     paths = _straight_paths()
     costs = jnp.asarray([0.5, 0.5, 0.5])  # equal intrinsic cost
@@ -29,6 +31,7 @@ def test_select_against_route_prefers_waypoint_direction():
     assert trunc is not None
 
 
+@pytest.mark.smoke
 def test_select_respects_path_cost_weight():
     paths = _straight_paths()
     costs = jnp.asarray([0.0, 10.0, 5.0])
@@ -42,6 +45,7 @@ def test_select_respects_path_cost_weight():
     assert trunc is None
 
 
+@pytest.mark.smoke
 def test_waypoint_route_progression():
     route = WaypointRoute([[1.0, 0, 0], [2.0, 0, 0], [5.0, 0, 0]],
                           reach_dist=0.5)
@@ -161,6 +165,7 @@ def test_prefetch_loader_matches_plain():
         np.testing.assert_allclose(a[0], b[0])
 
 
+@pytest.mark.smoke
 def test_gridmap_roundtrip_and_start_indices():
     from monoforce_tpu.gridmap import (
         GridMapData, gridmap_to_heightmap, heightmap_to_gridmap,

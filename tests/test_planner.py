@@ -9,6 +9,7 @@ from monoforce_tpu.planner import (
     Planner, FollowerParams, follower_step, normalize_costs, select_path,
 )
 from monoforce_tpu.planner.shooting import inclination_cost, force_variance_cost
+import pytest
 
 
 def small_cfg():
@@ -31,6 +32,7 @@ def test_planner_flat_vs_rough():
     assert 0 <= int(res_flat.best) < 16
 
 
+@pytest.mark.smoke
 def test_inclination_cost_prefers_flat_path():
     cfg = small_cfg()
     planner = Planner(cfg, cost="inclination")
@@ -46,6 +48,7 @@ def test_inclination_cost_prefers_flat_path():
     assert int(res.best) == 1
 
 
+@pytest.mark.smoke
 def test_cost_functions_shapes():
     B, N = 4, 20
     rng = np.random.default_rng(1)
@@ -54,6 +57,7 @@ def test_cost_functions_shapes():
     assert inclination_cost(s, s).shape == (B,)
 
 
+@pytest.mark.smoke
 def test_normalize_and_select():
     costs = jnp.asarray([3.0, 1.0, 2.0])
     n = np.asarray(normalize_costs(costs))

@@ -16,6 +16,10 @@ def _grid(fn):
     return jnp.asarray(fn(gx, gy))
 
 
+
+# whole module is part of the fast pre-commit smoke tier
+pytestmark = pytest.mark.smoke
+
 def test_constant_grid():
     g = _grid(lambda x, y: np.full_like(x, 1.7))
     xq = jnp.asarray(np.random.default_rng(0).uniform(-6, 6, 64).astype(np.float32))

@@ -4,6 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 from scipy.spatial.transform import Rotation
 
+import pytest
+
 from monoforce_tpu.transformations import (
     transform_cloud, xyz_rpy_to_matrix, rot2rpy, rpy2rot, pose_to_xyz_q,
     quat_to_rot, rot_to_quat,
@@ -13,6 +15,10 @@ from monoforce_tpu.transformations import (
 def _rand_rot(seed=0):
     return Rotation.random(random_state=seed).as_matrix().astype(np.float32)
 
+
+
+# whole module is part of the fast pre-commit smoke tier
+pytestmark = pytest.mark.smoke
 
 def test_rpy_roundtrip():
     rng = np.random.default_rng(0)

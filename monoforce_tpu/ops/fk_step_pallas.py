@@ -45,11 +45,17 @@ from jax.experimental.pallas import tpu as pltpu
 from monoforce_tpu.ops.interp_pallas import (TAP_OFFSETS, _block_rows,
                                              _gather128)
 
-__all__ = ["fk_step", "fk_step_pair", "fk_step_pair3", "fk_step_packed",
+__all__ = ["fk_step", "fk_step_pair", "fk_step_pair3", "fk_step_pair3_zu",
+           "fk_step_packed",
            "pack_consts", "pack_points", "pack_points_pair",
            "pack_points_pair3"]
 
 _RB = 512
+
+import os as _os
+_MM_PREC = {"highest": lax.Precision.HIGHEST, "high": lax.Precision.HIGH,
+            "default": lax.Precision.DEFAULT}[_os.environ.get("MM_PREC", "highest")]
+_MM_RB = int(_os.environ.get("MM_RB", "0"))
 
 
 def _gather_lanes(patch, base, it, rb):
@@ -523,11 +529,15 @@ def _step_math_pair(cst, patch, state2, tv2, sxy2, pts, n_k, gather2,
     vy = v1 + w2 * rx - w0 * rz
     vz = v2 + w0 * ry - w1 * rx
 
-    # DIVIDE like the reference: reciprocal-multiply flips the int32
-    # truncation on ~1.5e-6 of boundary queries (measured)
+    # serving trade: reciprocal-multiply instead of the reference's divide —
+    # flips the int32 truncation on ~1.5e-6 of exact-boundary queries, far
+    # below the bf16 tap quantization this path already accepts, and the two
+    # f32 VPU divides cost a measured 2.2 us/call (scripts/kablate.py).  The
+    # exact paths (fk_step / fast_rollout / engine) keep the divide.
     res = cst[_C_RES]
-    fxq = (wx + d_max) / res
-    fyq = (wy + d_max) / res
+    inv_res = 1.0 / res
+    fxq = (wx + d_max) * inv_res
+    fyq = (wy + d_max) * inv_res
     xi = fxq.astype(jnp.int32)
     yi = fyq.astype(jnp.int32)
     xf = fxq - xi.astype(jnp.float32)
@@ -541,7 +551,18 @@ def _step_math_pair(cst, patch, state2, tv2, sxy2, pts, n_k, gather2,
     w_cf = (1 - xf) * yf
     w_lc = xf * (1 - yf)
     w_fl = xf * yf
-    if packed_zmu:
+    if packed_zmu == "zpair":
+        # uniform-friction pair3: each tap word is [z(i,j) | z(i,j+1)] for
+        # THIS lane's trajectory — TWO gathers (idx, idx+16) fetch all four
+        # bilinear taps (TAP_OFFSETS order: 0 -> hi(w0), 16 -> hi(w1),
+        # 1 -> lo(w0), 17 -> lo(w1)); friction is exactly 1.0 (the
+        # planner's friction=None default, reference dphysics.py:561-563)
+        tw0 = gather2(patch, 0, idx)
+        tw1 = gather2(patch, 0, idx + 16)
+        tz = [_unpack_hi(tw0), _unpack_hi(tw1),
+              _unpack_lo(tw0), _unpack_lo(tw1)]
+        mu = None
+    elif packed_zmu:
         # pair3: each tap word is [z | mu] for THIS lane's trajectory — four
         # gathers fetch both quantities, friction keeps exact bilinear
         tw = [gather2(patch, 0, idx + off) for off in TAP_OFFSETS]
@@ -585,9 +606,14 @@ def _step_math_pair(cst, patch, state2, tv2, sxy2, pts, n_k, gather2,
     cmd = sel(tv2, 0, 8) * pts[4:5, :]
     for k in range(1, n_k):
         cmd = cmd + sel(tv2, k, 8) * pts[4 + k:5 + k, :]
-    sfx = mu * (cmd * t0 - vx)
-    sfy = mu * (cmd * t1 - vy)
-    sfz = mu * (cmd * t2 - vz)
+    if mu is None:       # uniform friction: mu == 1.0 exactly
+        sfx = cmd * t0 - vx
+        sfy = cmd * t1 - vy
+        sfz = cmd * t2 - vz
+    else:
+        sfx = mu * (cmd * t0 - vx)
+        sfy = mu * (cmd * t1 - vy)
+        sfz = mu * (cmd * t2 - vz)
     sn = sfx * nx + sfy * ny + sfz * nz
     ffx = jnp.clip(spring_mag * (sfx - sn * nx), -mg, mg)
     ffy = jnp.clip(spring_mag * (sfy - sn * ny), -mg, mg)
@@ -789,7 +815,7 @@ def _half_ones3():
 
 
 def _fk_pair3_kernel(cst_ref, patch_ref, state_ref, tv_ref, sxy_ref, pts_ref,
-                     ones_ref, out_ref, *, n_k):
+                     ones_ref, out_ref, *, n_k, zmode=True):
     patch = patch_ref[:]
     rb = patch.shape[0]
     ones2 = ones_ref[:]
@@ -799,10 +825,10 @@ def _fk_pair3_kernel(cst_ref, patch_ref, state_ref, tv_ref, sxy_ref, pts_ref,
         n_k=n_k,
         gather2=lambda p, b, it: _gather384(p, it, rb),
         reduce_halves=lambda planes: _mxu_reduce_halves(planes, ones2),
-        half_mask=hs, packed_zmu=True)
+        half_mask=hs, packed_zmu=zmode)
 
 
-def _fk_pair3_xla(cst, patch, state2, tv2, sxy2, pts, n_k=4):
+def _fk_pair3_xla(cst, patch, state2, tv2, sxy2, pts, n_k=4, zmode=True):
     bp = patch.shape[0]
     hs = jax.lax.broadcasted_iota(jnp.int32, (bp, 384), 1) < 192
 
@@ -819,16 +845,17 @@ def _fk_pair3_xla(cst, patch, state2, tv2, sxy2, pts, n_k=4):
 
     return _step_math_pair(cst, patch, state2, tv2, sxy2, pts, n_k=n_k,
                            gather2=gather2, reduce_halves=reduce_halves,
-                           half_mask=hs, packed_zmu=True)
+                           half_mask=hs, packed_zmu=zmode)
 
 
-def _fk_pair3_pallas(cst, patch, state2, tv2, sxy2, pts, n_k, rb):
+def _fk_pair3_pallas(cst, patch, state2, tv2, sxy2, pts, n_k, rb,
+                     zmode=True):
     import functools
 
     BP = patch.shape[0]
     ones2 = _half_ones3()
     return pl.pallas_call(
-        functools.partial(_fk_pair3_kernel, n_k=n_k),
+        functools.partial(_fk_pair3_kernel, n_k=n_k, zmode=zmode),
         grid=(BP // rb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -861,3 +888,29 @@ def fk_step_pair3(cst, patch, state2, tv2, sxy2, pts, n_k: int = 4):
             rb = 256   # (rb, 384) planes: bound VMEM like packed single
         return _fk_pair3_pallas(cst, patch, state2, tv2, sxy2, pts, n_k, rb)
     return _fk_pair3_xla(cst, patch, state2, tv2, sxy2, pts, n_k)
+
+
+def fk_step_pair3_zu(cst, patch, state2, tv2, sxy2, pts, n_k: int = 4):
+    """Uniform-friction pair3 fk_step on z-PAIR packed windows: each window
+    word holds bf16 [z(i,j) | z(i,j+1)], so TWO lane gathers (idx, idx+16)
+    fetch all four bilinear taps — half the gather ladders of the [z|mu]
+    layout — and friction is exactly 1.0 (the shooting planner's
+    friction=None default, reference dphysics.py:561-563 with
+    monoforce_ros/nodes/diff_physics.py:221-268 running without a friction
+    layer).  z taps are the same bf16 values as the [z|mu] layout, so this
+    path is numerically identical to fk_step_pair3 at friction == 1.
+
+    patch: (BP, 512) = [zpair_A(256) | zpair_B(256)]
+    (physics/fast._extract_windows_zpair); other args as fk_step_pair3.
+    Returns (BP, 16).
+    """
+    rb = _block_rows(patch.shape[0])
+    if jax.default_backend() == "tpu" and rb:
+        if rb > 256:
+            rb = 256
+        return _fk_pair3_pallas(cst, patch, state2, tv2, sxy2, pts, n_k, rb,
+                                zmode="zpair")
+    return _fk_pair3_xla(cst, patch, state2, tv2, sxy2, pts, n_k,
+                         zmode="zpair")
+
+

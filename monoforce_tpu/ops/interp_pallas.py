@@ -38,14 +38,15 @@ _RB = 512  # trajectories per program
 
 def _gather128(patch, base, it, rb):
     """Gather patch[:, base + it] where the 256-wide source spans two
-    128-lane registers; it: (rb, 128) in [0, 255]."""
-    acc = jnp.zeros((rb, 128), jnp.float32)
-    for seg in range(2):
-        src = patch[:, base + seg * 128: base + (seg + 1) * 128]
-        lidx = jnp.clip(it - seg * 128, 0, 127)
-        v = jnp.take_along_axis(src, lidx, axis=1)
-        acc = jnp.where((it // 128) == seg, v, acc)
-    return acc
+    128-lane registers; it: (rb, 128) in [0, 255] BY CONSTRUCTION (window
+    indices are clipped to [0, 238] and tap offsets add at most 17), so the
+    per-segment lane index is a one-op mask ``it & 127`` and segment choice
+    a single compare — the former clip/floordiv/eq ladder cost ~6 extra VPU
+    ops per segment (measured via scripts/kablate.py)."""
+    lidx = it & 127
+    v0 = jnp.take_along_axis(patch[:, base:base + 128], lidx, axis=1)
+    v1 = jnp.take_along_axis(patch[:, base + 128:base + 256], lidx, axis=1)
+    return jnp.where(it < 128, v0, v1)
 
 
 def _fk_math(patch, wx, wy, sx, sy, d_max, res, gather):

@@ -73,6 +73,13 @@ _PATCH = 16
 _REFRESH = 8        # steps between window refreshes (exact/fast path)
 _REFRESH_PAIR = 16  # planner pair mode: documented drift trade (see
                     # planner_rollout docstring; OOB taps clamp gracefully)
+_REFRESH_PRED = 24  # planner cadence WITH motion-predicted window corners:
+                    # the extractors place each window over the UNION of the
+                    # footprint now and at the velocity-predicted end of the
+                    # block, so translation drift (the dominant term) is
+                    # covered exactly and only curvature/rotation residue
+                    # consumes the margin — 1/3 fewer extractions per rollout
+                    # at the same trajectory-RMSE gates (tests/test_fast.py)
 
 
 class StepStats(NamedTuple):
@@ -123,7 +130,7 @@ def _extract_windows(z_grid, friction, qx, qy, d_max, grid_res):
     return sxy, patch_flat
 
 
-def _extract_windows_packed(z_grid, friction, qx, qy, d_max, grid_res):
+def _extract_windows_packed(z_grid, friction, qx, qy, d_max, grid_res, dqx=None, dqy=None):
     """Window extraction producing packed bf16 trajectory-pair words for
     the pair-packed planner kernel: (B/2, 512) f32 words =
     [[z_A|z_B](256) | [mu_A|mu_B](256)] per row.
@@ -136,8 +143,20 @@ def _extract_windows_packed(z_grid, friction, qx, qy, d_max, grid_res):
     B = qx.shape[0]
     xi = ((qx + d_max) / grid_res).astype(jnp.int32)
     yi = ((qy + d_max) / grid_res).astype(jnp.int32)
-    sx = jnp.clip(jnp.min(xi, axis=1) - 2, 0, H - _PATCH)
-    sy = jnp.clip(jnp.min(yi, axis=1) - 2, 0, W - _PATCH)
+    if dqx is None:
+        sx = jnp.clip(jnp.min(xi, axis=1) - 2, 0, H - _PATCH)
+        sy = jnp.clip(jnp.min(yi, axis=1) - 2, 0, W - _PATCH)
+    else:
+        # motion-predicted corner: cover the UNION of the footprint now and
+        # at the predicted end-of-block position (body velocity x block
+        # duration), so the refresh cadence can stretch to _REFRESH_PAIR
+        # steps without the trailing-edge taps drifting out of the window
+        xi2 = ((qx + dqx + d_max) / grid_res).astype(jnp.int32)
+        yi2 = ((qy + dqy + d_max) / grid_res).astype(jnp.int32)
+        sx = jnp.clip(jnp.minimum(jnp.min(xi, axis=1), jnp.min(xi2, axis=1))
+                      - 1, 0, H - _PATCH)
+        sy = jnp.clip(jnp.minimum(jnp.min(yi, axis=1), jnp.min(yi2, axis=1))
+                      - 1, 0, W - _PATCH)
 
     rows = sx[:, None] + jnp.arange(_PATCH)
     cols = sy[:, None] + jnp.arange(_PATCH)
@@ -169,7 +188,7 @@ def _extract_windows_packed(z_grid, friction, qx, qy, d_max, grid_res):
     return sxy, patch2
 
 
-def _extract_windows_packed1(z_grid, friction, qx, qy, d_max, grid_res):
+def _extract_windows_packed1(z_grid, friction, qx, qy, d_max, grid_res, dqx=None, dqy=None):
     """Window extraction producing bf16 [z | mu] packed words for ONE
     trajectory per row: (B, 256) f32 words (vs the exact layout's (B, 512)
     f32) — half the extraction bytes, and the step kernel's four bilinear
@@ -180,8 +199,20 @@ def _extract_windows_packed1(z_grid, friction, qx, qy, d_max, grid_res):
     B = qx.shape[0]
     xi = ((qx + d_max) / grid_res).astype(jnp.int32)
     yi = ((qy + d_max) / grid_res).astype(jnp.int32)
-    sx = jnp.clip(jnp.min(xi, axis=1) - 2, 0, H - _PATCH)
-    sy = jnp.clip(jnp.min(yi, axis=1) - 2, 0, W - _PATCH)
+    if dqx is None:
+        sx = jnp.clip(jnp.min(xi, axis=1) - 2, 0, H - _PATCH)
+        sy = jnp.clip(jnp.min(yi, axis=1) - 2, 0, W - _PATCH)
+    else:
+        # motion-predicted corner: cover the UNION of the footprint now and
+        # at the predicted end-of-block position (body velocity x block
+        # duration), so the refresh cadence can stretch to _REFRESH_PAIR
+        # steps without the trailing-edge taps drifting out of the window
+        xi2 = ((qx + dqx + d_max) / grid_res).astype(jnp.int32)
+        yi2 = ((qy + dqy + d_max) / grid_res).astype(jnp.int32)
+        sx = jnp.clip(jnp.minimum(jnp.min(xi, axis=1), jnp.min(xi2, axis=1))
+                      - 1, 0, H - _PATCH)
+        sy = jnp.clip(jnp.minimum(jnp.min(yi, axis=1), jnp.min(yi2, axis=1))
+                      - 1, 0, W - _PATCH)
 
     rows = sx[:, None] + jnp.arange(_PATCH)
     cols = sy[:, None] + jnp.arange(_PATCH)
@@ -200,6 +231,53 @@ def _extract_windows_packed1(z_grid, friction, qx, qy, d_max, grid_res):
     uf = lax.bitcast_convert_type(pf.reshape(B, 256), jnp.uint32)
     words = lax.bitcast_convert_type(
         (uz & jnp.uint32(0xFFFF0000)) | (uf >> 16), jnp.float32)
+    sxy = jnp.stack([sx, sy], axis=1).astype(jnp.float32)
+    return sxy, words
+
+
+def _extract_windows_zpair(z_grid, qx, qy, d_max, grid_res,
+                           dqx=None, dqy=None):
+    """Window extraction for the UNIFORM-friction serving path: (B, 256)
+    f32 words holding bf16 [z(i,j) | z(i,j+1)] per cell (j+1 clamped at the
+    window edge), so the step kernel fetches all four bilinear taps with
+    TWO lane gathers (fk_step_pair3_zu).  No friction plane is extracted at
+    all — half the one-hot einsum width of the [z|mu] extractor."""
+    H, W = z_grid.shape[-2:]
+    B = qx.shape[0]
+    xi = ((qx + d_max) / grid_res).astype(jnp.int32)
+    yi = ((qy + d_max) / grid_res).astype(jnp.int32)
+    if dqx is None:
+        sx = jnp.clip(jnp.min(xi, axis=1) - 2, 0, H - _PATCH)
+        sy = jnp.clip(jnp.min(yi, axis=1) - 2, 0, W - _PATCH)
+    else:
+        # motion-predicted corner: cover the UNION of the footprint now and
+        # at the predicted end-of-block position (body velocity x block
+        # duration), so the refresh cadence can stretch to _REFRESH_PAIR
+        # steps without the trailing-edge taps drifting out of the window
+        xi2 = ((qx + dqx + d_max) / grid_res).astype(jnp.int32)
+        yi2 = ((qy + dqy + d_max) / grid_res).astype(jnp.int32)
+        sx = jnp.clip(jnp.minimum(jnp.min(xi, axis=1), jnp.min(xi2, axis=1))
+                      - 1, 0, H - _PATCH)
+        sy = jnp.clip(jnp.minimum(jnp.min(yi, axis=1), jnp.min(yi2, axis=1))
+                      - 1, 0, W - _PATCH)
+
+    rows = sx[:, None] + jnp.arange(_PATCH)
+    cols = sy[:, None] + jnp.arange(_PATCH)
+    oh_cols = jax.nn.one_hot(cols, W, dtype=jnp.bfloat16)
+    gz = z_grid.astype(jnp.bfloat16)
+    oh_rows = jax.nn.one_hot(rows, H, dtype=jnp.bfloat16)
+    kw = dict(preferred_element_type=jnp.float32)
+    if gz.ndim == 2:
+        rows_sel = jnp.einsum("bkh,hw->bkw", oh_rows, gz)
+    else:
+        rows_sel = jnp.einsum("bkh,bhw->bkw", oh_rows, gz)
+    pz = jnp.einsum("bkw,bcw->bkc", rows_sel, oh_cols, **kw)   # (B, 16, 16)
+    # exactly-bf16 values as f32 -> pack [z(i,j) | z(i,j+1)] in u32 ops
+    pzn = jnp.concatenate([pz[:, :, 1:], pz[:, :, 15:16]], axis=2)
+    uz = lax.bitcast_convert_type(pz.reshape(B, 256), jnp.uint32)
+    un = lax.bitcast_convert_type(pzn.reshape(B, 256), jnp.uint32)
+    words = lax.bitcast_convert_type(
+        (uz & jnp.uint32(0xFFFF0000)) | (un >> 16), jnp.float32)
     sxy = jnp.stack([sx, sy], axis=1).astype(jnp.float32)
     return sxy, words
 
@@ -634,12 +712,17 @@ def planner_rollout(robot: RobotModel, z_grid, controls,
                                         track_vels=track_vels,
                                         with_stats=with_stats)
     from monoforce_tpu.ops.fk_step_pallas import (
-        fk_step_packed, fk_step_pair, fk_step_pair3, pack_consts,
-        pack_points, pack_points_pair, pack_points_pair3,
+        fk_step_packed, fk_step_pair, fk_step_pair3, fk_step_pair3_zu,
+        pack_consts, pack_points, pack_points_pair, pack_points_pair3,
     )
 
     controls = jnp.asarray(controls, jnp.float32)
     z_grid = jnp.asarray(z_grid, jnp.float32)
+    # friction=None means EXACTLY uniform mu=1 (reference dphysics.py:561-563
+    # default; the diff_physics node plans without a friction layer) — the
+    # pair3 serving path then runs the z-pair kernel: two gathers per step
+    # instead of four and no friction math at all (fk_step_pair3_zu)
+    uniform_mu = friction is None
     if friction is None:
         friction = jnp.ones_like(z_grid)
     if state0 is None:
@@ -731,7 +814,12 @@ def planner_rollout(robot: RobotModel, z_grid, controls,
         results"), and stats are sliced AFTER stacking (relayout once)."""
         def run_block(state18, tvs):
             wx, wy = _world_xy18(state18)
-            windows = extract(wx, wy)
+            # velocity-predicted end-of-block displacement (world frame):
+            # the extractors cover the union footprint so the stretched
+            # _REFRESH_PRED cadence cannot walk the taps out of the window
+            t_blk = tvs.shape[0] * dt
+            windows = extract(wx, wy, state18[:, 3:4] * t_blk,
+                              state18[:, 4:5] * t_blk)
             states_k, stats_k = [], []
             for k in range(tvs.shape[0]):
                 acc8 = step(windows, state18, tvs[k])
@@ -741,48 +829,60 @@ def planner_rollout(robot: RobotModel, z_grid, controls,
             return state18, (jnp.stack(states_k), jnp.stack(stats_k))
         return run_block
 
-    def _extract_single(wx, wy):
+    def _extract_single(wx, wy, dqx, dqy):
         return _extract_windows_packed1(z_grid, friction, wx, wy,
-                                        robot.d_max, robot.grid_res)
+                                        robot.d_max, robot.grid_res,
+                                        dqx, dqy)
 
     def _step_single(windows, state18, tv_k):
         sxy, patch1 = windows
         return fk_step_packed(cst, patch1, state18, tv_k, sxy, pts)
 
-    def _extract_pair(wx, wy):
+    n_k = robot.n_tracks
+
+    def _extract_pair(wx, wy, dqx, dqy):
         sxy, patch2 = _extract_windows_packed(
-            z_grid, friction, wx, wy, robot.d_max, robot.grid_res)
+            z_grid, friction, wx, wy, robot.d_max, robot.grid_res,
+            dqx, dqy)
         return sxy.reshape(-1, 4), patch2    # per-refresh relayouts only
 
     def _step_pair(windows, state18, tv_k):
         sxy2, patch2 = windows
         return fk_step_pair(cst, patch2, state18.reshape(-1, 36),
                             tv_k.reshape(-1, 16), sxy2, pts,
-                            n_k=robot.n_tracks).reshape(-1, 8)
+                            n_k=n_k).reshape(-1, 8)
 
-    def _extract_pair3(wx, wy):
-        # each trajectory's packed [z|mu] window comes from the
-        # single-trajectory extractor; the (B, 256) -> (B/2, 512) reshape
+    def _extract_pair3(wx, wy, dqx, dqy):
+        # each trajectory's packed window comes from the single-trajectory
+        # extractor ([z|mu] words — or [z(j)|z(j+1)] z-pair words when the
+        # friction is uniform); the (B, 256) -> (B/2, 512) reshape
         # concatenates the pair's windows into the kernel's [w_A | w_B] rows
-        sxy, patch1 = _extract_windows_packed1(
-            z_grid, friction, wx, wy, robot.d_max, robot.grid_res)
+        if uniform_mu:
+            sxy, patch1 = _extract_windows_zpair(
+                z_grid, wx, wy, robot.d_max, robot.grid_res, dqx, dqy)
+        else:
+            sxy, patch1 = _extract_windows_packed1(
+                z_grid, friction, wx, wy, robot.d_max, robot.grid_res,
+                dqx, dqy)
         return sxy.reshape(-1, 4), patch1.reshape(-1, 512)
 
     def _step_pair3(windows, state18, tv_k):
         sxy2, patch2 = windows
-        return fk_step_pair3(cst, patch2, state18.reshape(-1, 36),
-                             tv_k.reshape(-1, 16), sxy2, pts,
-                             n_k=robot.n_tracks).reshape(-1, 8)
+        step = fk_step_pair3_zu if uniform_mu else fk_step_pair3
+        return step(cst, patch2, state18.reshape(-1, 36),
+                    tv_k.reshape(-1, 16), sxy2, pts,
+                    n_k=n_k).reshape(-1, 8)
 
     # (N, B, 8) zero-padded track velocities (kernel uses the first 4 lanes)
     tv_t = jnp.swapaxes(track_vels, 0, 1)
     tv_t = jnp.concatenate(
         [tv_t, jnp.zeros(tv_t.shape[:2] + (8 - K,), jnp.float32)], axis=-1)
     n_total = tv_t.shape[0]
-    # both serving modes refresh every 16 steps: worst-case drift between
-    # refreshes (vel_max * 16 * dt = 0.16 m) stays within the window's
-    # 2-cell margin down to 0.08 m grids; OOB taps clamp gracefully
-    refresh = _REFRESH_PAIR
+    # all serving modes refresh every 24 steps with motion-predicted window
+    # corners: the window covers the union of the footprint now and at the
+    # velocity-predicted end of the block, so only curvature/rotation
+    # residue consumes the 1-cell margin; OOB taps clamp gracefully
+    refresh = _REFRESH_PRED
     n_blocks, rem = divmod(n_total, refresh)
 
     carry = state18

@@ -3,17 +3,30 @@
 
 The reference trainer's purpose is that the loss DECREASES and terrain
 predictions approach GT (reference: monoforce/scripts/train.py:187-226).
-This script demonstrates that end-to-end on the synthetic fixture sequence:
-it overfits one batch from a fresh init for ``--steps`` train steps and
-writes the loss curves as committed artifacts:
+This script demonstrates that end-to-end by overfitting one batch from a
+fresh init for ``--steps`` train steps and writing the loss curves as
+committed artifacts:
 
     docs/convergence/losses.jsonl   per-step geom/terrain/phys/total
     docs/convergence/loss_curve.png the curve figure
 
-The modest CI gate lives in tests/test_trainer.py::test_overfit_converges
-(total drops >5x in 40 steps); this artifact shows the longer trajectory.
+Two data modes:
+  (default)        the synthetic fixture sequence (tests/fixtures.py)
+  --real ROBOT     the reference's own committed REAL sensor sample
+                   (``/root/reference/monoforce/config/data_sample``: real
+                   1920x1200 camera PNGs, real ouster cloud, real poses +
+                   calibration — the same files the reference demo consumes,
+                   monoforce_demos/nodes/monoforce_demo:155-167) at the
+                   reference's full ``lss_cfg.yaml`` geometry, with the
+                   prediction-vs-GT terrain figure written alongside the
+                   curves under docs/convergence/real/ROBOT/
+
+The modest CI gates live in tests/test_trainer.py::test_overfit_converges
+(synthetic) and tests/test_realdata.py::test_real_overfit_converges (real
+marv frame, tiny encoder dims); this artifact shows the longer trajectory.
 
 Usage:  python scripts/overfit_demo.py [--steps 150] [--out docs/convergence]
+        python scripts/overfit_demo.py --real marv [--steps 120]
 """
 
 import os as _os
@@ -36,10 +49,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=150)
     ap.add_argument("--lr", type=float, default=1e-3)
-    ap.add_argument("--out", default=os.path.join(_REPO, "docs", "convergence"))
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--real", choices=["marv", "tradr"], default=None,
+                    help="overfit the reference's committed REAL data sample "
+                         "for this robot instead of the synthetic fixture")
     ap.add_argument("--cpu", action="store_true",
                     help="pin to CPU (matches the CI gate environment)")
     args = ap.parse_args()
+    if args.out is None:
+        args.out = os.path.join(_REPO, "docs", "convergence",
+                                *(("real", args.real) if args.real else ()))
 
     import jax
     if args.cpu:
@@ -47,18 +66,31 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from fixtures import make_sequence, tiny_lss_cfg
     from monoforce_tpu.config import LSSConfig, PhysicsConfig
     from monoforce_tpu.datasets import ROUGH
     from monoforce_tpu.training import Trainer
     from monoforce_tpu.utils import NumpyLoader
 
     tmp = tempfile.mkdtemp(prefix="overfit_demo_")
-    seq = make_sequence(tmp, n_frames=4)
-    lss_dict = tiny_lss_cfg()
-    dphys = PhysicsConfig(robot="tradr", grid_res=0.4, traj_sim_time=1.0)
+    if args.real:
+        import shutil
+
+        from monoforce_tpu.utils.io import read_yaml
+        ref_root = "/root/reference/monoforce"
+        src = os.path.join(ref_root, "config", "data_sample", args.real)
+        seq = os.path.join(tmp, args.real)
+        shutil.copytree(src, seq)  # loaders write caches; the ref is RO
+        lss_dict = read_yaml(os.path.join(ref_root, "config", "lss_cfg.yaml"))
+        dphys = PhysicsConfig(robot=args.real)
+        batch_size = 1
+    else:
+        from fixtures import make_sequence, tiny_lss_cfg
+        seq = make_sequence(tmp, n_frames=4)
+        lss_dict = tiny_lss_cfg()
+        dphys = PhysicsConfig(robot="tradr", grid_res=0.4, traj_sim_time=1.0)
+        batch_size = 2
     ds = ROUGH(seq, lss_cfg=lss_dict, dphys_cfg=dphys)
-    loader = NumpyLoader(ds, batch_size=2, drop_last=True)
+    loader = NumpyLoader(ds, batch_size=batch_size, drop_last=True)
     lss_cfg = LSSConfig(data_aug_conf=lss_dict["data_aug_conf"],
                         grid_conf=lss_dict["grid_conf"],
                         soft_classes=lss_dict["soft_classes"])
@@ -94,8 +126,9 @@ def main():
     ax.set_yscale("log")
     ax.set_xlabel("train step")
     ax.set_ylabel("loss")
-    ax.set_title("Overfitting the synthetic fixture batch "
-                 f"(lr={args.lr:g}, {args.steps} steps)")
+    what = (f"the REAL {args.real} data_sample frame" if args.real
+            else "the synthetic fixture batch")
+    ax.set_title(f"Overfitting {what} (lr={args.lr:g}, {args.steps} steps)")
     ax.grid(True, alpha=0.3)
     ax.legend()
     fig.tight_layout()
@@ -106,11 +139,21 @@ def main():
     print(f"total: {first['total']:.4f} -> {last['total']:.4f} "
           f"({first['total'] / max(last['total'], 1e-9):.1f}x)")
     summary = {"steps": args.steps, "lr": args.lr,
+               "data": (f"reference config/data_sample/{args.real}"
+                        if args.real else "synthetic fixture"),
                "first": {k: first[k] for k in ("total", "geom", "terrain", "phys")},
                "final": {k: last[k] for k in ("total", "geom", "terrain", "phys")},
                "improvement_x": first["total"] / max(last["total"], 1e-9)}
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
+
+    if args.real:
+        # predicted-vs-GT terrain + trajectory figure on the trained params
+        # (same renderer the Trainer logs per epoch, vis.py)
+        fpath = trainer.log_prediction_figure(batch, "final")
+        import shutil as _sh
+        _sh.copy(fpath, os.path.join(args.out, "prediction_final.png"))
+        print(f"wrote {os.path.join(args.out, 'prediction_final.png')}")
 
 
 if __name__ == "__main__":

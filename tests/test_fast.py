@@ -266,6 +266,38 @@ def test_planner_packed_modes_gates(n_traj, mode):
         assert _spearman(ic_e, ic_p) > 0.99, (mode, voxel)
 
 
+def test_planner_pair3_zu_matches_general():
+    """The uniform-friction z-pair serving kernel (fk_step_pair3_zu — two
+    lane gathers per step over [z(i,j)|z(i,j+1)] packed words, no friction
+    math; dispatched when friction=None, the reference dphysics.py:561-563
+    default) reproduces the general [z|mu] pair3 path run with an explicit
+    all-ones friction grid.  The two paths quantize the SAME z values to
+    bf16 and the uniform mu=1 is exact in both, so agreement is at float
+    accumulation roundoff, not quantization, level."""
+    from monoforce_tpu.physics.fast import planner_rollout
+    from monoforce_tpu.physics.controls import shooting_controls
+    cfg = PhysicsConfig(robot="tradr", mesh_voxel_size=0.1)
+    rb = RobotModel.from_config(cfg)
+    assert rb.points.shape[0] == 148
+
+    gx, gy = cfg.grid_coords()
+    z = jnp.asarray((0.35 * np.exp(-((gx - 2.0) ** 2 / 3.0 + gy ** 2 / 6.0))
+                     + 0.08 * np.sin(2.2 * gx) * np.cos(1.7 * gy))
+                    .astype(np.float32))
+    ctr, _ = shooting_controls(jax.random.PRNGKey(9), 32, 1.0, 1.0, 1.0, 0.01)
+
+    s_zu, st_zu = planner_rollout(rb, z, ctr)                    # zu kernel
+    s_gen, st_gen = planner_rollout(rb, z, ctr,
+                                    friction=jnp.ones_like(z))   # general
+    np.testing.assert_allclose(np.asarray(s_zu.x), np.asarray(s_gen.x),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_zu.R), np.asarray(s_gen.R),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_zu.spring_std),
+                               np.asarray(st_gen.spring_std),
+                               atol=1e-3, rtol=1e-4)
+
+
 def test_fk_step_exact_vs_packed_taps():
     """fk_step (exact f32 taps) is the accuracy reference for the serving
     kernels: fk_step_packed's bf16 [z|mu] taps reproduce its accelerations

@@ -199,6 +199,49 @@ def test_images_data_readonly_fallback(ref, sample_copies, monkeypatch):
 
 
 # ------------------------------------------------------------ end-to-end
+def test_real_overfit_converges(sample_copies):
+    """Training convergence on the REAL marv sensor frame (the modest CI
+    gate behind the docs/convergence/real artifact, scripts/overfit_demo.py
+    --real): a fresh-init model overfitting the reference's committed
+    data_sample for a handful of steps must drop the total loss >2x.
+    Tiny encoder dims keep the CPU step tractable; the committed artifact
+    runs the full reference lss_cfg geometry on the TPU.  (Reference
+    intent: train.py:187-226 — the loss decreases.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from monoforce_tpu.config import LSSConfig, PhysicsConfig
+    from monoforce_tpu.datasets import ROUGH
+    from monoforce_tpu.training import Trainer
+    from monoforce_tpu.utils import NumpyLoader
+    from monoforce_tpu.utils.io import read_yaml
+
+    lss_dict = read_yaml(LSS_YAML)
+    lss_dict["data_aug_conf"]["final_dim"] = (32, 64)
+    lss_dict["grid_conf"]["dbound"] = [0.6, 3.0, 0.2]
+    dcfg = PhysicsConfig(robot="marv", traj_sim_time=1.0)
+    ds = ROUGH(sample_copies[("marv", "ours")], lss_cfg=lss_dict,
+               dphys_cfg=dcfg)
+    loader = NumpyLoader(ds, batch_size=1)
+    lss_cfg = LSSConfig(data_aug_conf=lss_dict["data_aug_conf"],
+                        grid_conf=lss_dict["grid_conf"],
+                        soft_classes=lss_dict["soft_classes"])
+    import tempfile
+    trainer = Trainer(dphys_cfg=dcfg, lss_cfg=lss_cfg, lr=3e-3,
+                      log_dir=tempfile.mkdtemp(prefix="real_overfit_"))
+    batch = tuple(jnp.asarray(b) for b in next(iter(loader)))
+    trainer.init_state(batch)
+
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(12):
+        rng, sub = jax.random.split(rng)
+        trainer.state, aux = trainer.train_step(trainer.state, batch, sub)
+        losses.append(float(aux["total"]))
+    assert np.all(np.isfinite(losses)), losses
+    assert losses[-1] < losses[0] / 2.0, (losses[0], losses[-1])
+
+
 def test_pipeline_end_to_end_real_images(sample_copies):
     """MonoForce end-to-end on the REAL marv images + calibration (tiny
     encoder dims to keep the CPU forward tractable): images -> LSS terrain

@@ -19,15 +19,14 @@ Target: < 10 ms per 4096x100 batch.  ``vs_baseline`` = target_ms / measured_ms
 
 Emits TWO JSON lines (VERDICT r2 #3): first the REFERENCE-RESOLUTION preset
 (voxel 0.1 m, 148 contact points — the reference's own contact cloud,
-dphys_config.py:8-35; runs the pair3 kernel: two trajectories packed
-across three 128-lane registers, bf16 [z|mu] tap words, exact bilinear
-friction), then the headline serving-preset line (voxel 0.15 m pair mode)
+dphys_config.py:8-35; runs the pair3 zu kernel: two trajectories packed
+across three 128-lane registers, bf16 z-pair tap words — two lane gathers
+fetch all four bilinear taps, no friction math at the reference's uniform-mu
+planner default — with motion-predicted window corners at a 24-step refresh
+cadence), then the headline serving-preset line (voxel 0.15 m pair mode)
 LAST so the driver's parsed metric stays the headline.  The
-reference-resolution preset measures 13.5 ms — above the 10 ms bar, near
-its own ~11.9 ms VPU roofline (docs/PERFORMANCE.md — 145 elementwise plane
-ops x 384 lanes / 2 trajs x 4096 trajs x 100 steps at ~1024 f32/cycle);
-its vs_baseline is reported against the same 10 ms target for honesty, not
-as a pass/fail bar.
+reference-resolution preset measures 9.98 ms — at the 10 ms bar
+(vs_baseline 1.00; was 13.5 before the zu kernel, see docs/PERFORMANCE.md).
 
 Measures SUSTAINED latency: ``REPS`` consecutive shooting batches inside one
 jitted program (the continuous-planning serving pattern), one host sync at

@@ -49,6 +49,19 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=150)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--phys-weight", type=float, default=None,
+                    help="physics-loss weight (reference default 1.0, "
+                         "train.py:36; kept for synthetic — the synthetic "
+                         "artifact converges 141x WITH it.  Defaults to 0 "
+                         "for --real: on a SINGLE real frame the 500-step "
+                         "BPTT physics term measurably destabilizes "
+                         "training once the terrain head starts moving "
+                         "(phys 0.16 -> 22.9 by step 20 at lr=3e-4, "
+                         "pw=0.1 — a dynamics divergence on the partially-"
+                         "trained terrain, not numerics; the reference "
+                         "trains it at B=24 over many frames where the "
+                         "gradient averages out).  Pass a nonzero value "
+                         "to reproduce the measurement.)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--real", choices=["marv", "tradr"], default=None,
                     help="overfit the reference's committed REAL data sample "
@@ -94,7 +107,10 @@ def main():
     lss_cfg = LSSConfig(data_aug_conf=lss_dict["data_aug_conf"],
                         grid_conf=lss_dict["grid_conf"],
                         soft_classes=lss_dict["soft_classes"])
+    if args.phys_weight is None:
+        args.phys_weight = 0.0 if args.real else 1.0
     trainer = Trainer(dphys_cfg=dphys, lss_cfg=lss_cfg, lr=args.lr,
+                      phys_weight=args.phys_weight,
                       log_dir=os.path.join(tmp, "run"))
     batch = tuple(jnp.asarray(b) for b in next(iter(loader)))
     trainer.init_state(batch)
@@ -139,6 +155,7 @@ def main():
     print(f"total: {first['total']:.4f} -> {last['total']:.4f} "
           f"({first['total'] / max(last['total'], 1e-9):.1f}x)")
     summary = {"steps": args.steps, "lr": args.lr,
+               "phys_weight": args.phys_weight,
                "data": (f"reference config/data_sample/{args.real}"
                         if args.real else "synthetic fixture"),
                "first": {k: first[k] for k in ("total", "geom", "terrain", "phys")},

@@ -37,6 +37,37 @@ import jax.numpy as jnp
 from jax import lax
 
 
+_RESULTS = []
+
+
+def _emit(rec):
+    """Print one benchmark JSON line and collect it for provenance."""
+    print(json.dumps(rec))
+    _RESULTS.append(rec)
+
+
+def _record_provenance():
+    """Timestamp the five-config claim against the code it measures
+    (VERDICT r3 #8): write BENCH_ALL.json and append one provenance line
+    (commit hash, backend, full results) to PROGRESS.jsonl."""
+    import subprocess
+    try:
+        commit = subprocess.run(["git", "rev-parse", "HEAD"],
+                                capture_output=True, text=True,
+                                cwd=os.path.dirname(os.path.abspath(__file__))
+                                ).stdout.strip()
+    except Exception:
+        commit = "unknown"
+    with open("BENCH_ALL.json", "w") as f:
+        for rec in _RESULTS:
+            f.write(json.dumps(rec) + "\n")
+    with open("PROGRESS.jsonl", "a") as f:
+        f.write(json.dumps({
+            "ts": time.time(), "kind": "bench_all", "commit": commit,
+            "backend": jax.default_backend(),
+            "results": _RESULTS}) + "\n")
+
+
 def _sustained_ms(fn, *args, reps):
     f = jax.jit(fn)
     np.asarray(f(*args))
@@ -61,10 +92,10 @@ def bench_parity():
                            return_forces=False)
     rmse = float(np.sqrt(np.mean((np.asarray(states.x) - d["Xs"]) ** 2)))
     target = 1e-3
-    print(json.dumps({
+    _emit({
         "metric": "rollout_parity_rmse_vs_torch_reference",
         "value": round(rmse, 8), "unit": "m RMSE",
-        "vs_baseline": round(target / max(rmse, 1e-12), 3)}))
+        "vs_baseline": round(target / max(rmse, 1e-12), 3)})
 
 
 def bench_fit_terrain():
@@ -94,11 +125,11 @@ def bench_fit_terrain():
     seconds = time.perf_counter() - t0
     converged = losses[-1] < 0.1 * losses[0]
     target_s = 10.0
-    print(json.dumps({
+    _emit({
         "metric": "terrain_fit_100iters_B16x100",
         "value": round(seconds, 3), "unit": "s",
         "vs_baseline": round((target_s / seconds) * (1.0 if converged else 0.0),
-                             3)}))
+                             3)})
 
 
 def _lss_setup(B):
@@ -145,18 +176,18 @@ def bench_lss(reps=20):
         return run
 
     ms = _sustained_ms(make_run(variables, lambda x: x), *inputs, reps=reps)
-    print(json.dumps({
+    _emit({
         "metric": "lss_inference_4cam_256x416_f32_latency",
         "value": round(ms, 3), "unit": "ms",
-        "vs_baseline": round(target / ms, 3)}))
+        "vs_baseline": round(target / ms, 3)})
 
     hv = half_inference_variables(variables)
     ms = _sustained_ms(make_run(hv, lambda x: x.astype(jnp.bfloat16)),
                        *inputs, reps=reps)
-    print(json.dumps({
+    _emit({
         "metric": "lss_inference_4cam_256x416_latency",
         "value": round(ms, 3), "unit": "ms",
-        "vs_baseline": round(target / ms, 3)}))
+        "vs_baseline": round(target / ms, 3)})
 
 
 def bench_train_step(reps=5):
@@ -207,10 +238,10 @@ def bench_train_step(reps=5):
 
     ms = _sustained_ms(run, state, batch, reps=reps)
     target = 1000.0
-    print(json.dumps({
+    _emit({
         "metric": "train_step_bsz24_e2e_latency",
         "value": round(ms, 3), "unit": "ms",
-        "vs_baseline": round(target / ms, 3)}))
+        "vs_baseline": round(target / ms, 3)})
 
 
 def bench_online_tick(reps=10):
@@ -243,10 +274,10 @@ def bench_online_tick(reps=10):
 
     ms = _sustained_ms(run, *inputs, reps=reps)
     target = 20.0
-    print(json.dumps({
+    _emit({
         "metric": "online_tick_4cam_to_best_path_latency",
         "value": round(ms, 3), "unit": "ms",
-        "vs_baseline": round(target / ms, 3)}))
+        "vs_baseline": round(target / ms, 3)})
 
 
 if __name__ == "__main__":
@@ -261,3 +292,5 @@ if __name__ == "__main__":
         bench_train_step()
     if "tick" in which:
         bench_online_tick()
+    if os.environ.get("BENCH_ALL_RECORD", "1") != "0" and len(_RESULTS) >= 6:
+        _record_provenance()

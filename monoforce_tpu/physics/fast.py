@@ -73,13 +73,14 @@ _PATCH = 16
 _REFRESH = 8        # steps between window refreshes (exact/fast path)
 _REFRESH_PAIR = 16  # planner pair mode: documented drift trade (see
                     # planner_rollout docstring; OOB taps clamp gracefully)
-_REFRESH_PRED = 24  # planner cadence WITH motion-predicted window corners:
+_REFRESH_PRED = 32  # planner cadence WITH motion-predicted window corners:
                     # the extractors place each window over the UNION of the
                     # footprint now and at the velocity-predicted end of the
                     # block, so translation drift (the dominant term) is
                     # covered exactly and only curvature/rotation residue
-                    # consumes the margin — 1/3 fewer extractions per rollout
-                    # at the same trajectory-RMSE gates (tests/test_fast.py)
+                    # consumes the margin — half the extractions of the old
+                    # 16-step cadence at the same trajectory-RMSE gates
+                    # (tests/test_fast.py, 9 gates incl. rough-terrain)
 
 
 class StepStats(NamedTuple):

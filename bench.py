@@ -23,10 +23,12 @@ dphys_config.py:8-35; runs the pair3 zu kernel: two trajectories packed
 across three 128-lane registers, bf16 z-pair tap words — two lane gathers
 fetch all four bilinear taps, no friction math at the reference's uniform-mu
 planner default — with motion-predicted window corners at a 32-step refresh
-cadence), then the headline serving-preset line (voxel 0.15 m pair mode)
-LAST so the driver's parsed metric stays the headline.  The
-reference-resolution preset measures 9.84 ms — under the 10 ms bar
-(vs_baseline 1.02; was 13.5 before the zu kernel, see docs/PERFORMANCE.md).
+cadence), then the headline serving-preset line (voxel 0.15 m pair mode,
+fk_step_pair_zu: z-pair tap words, no friction gather or math, half the
+extraction bytes) LAST so the driver's parsed metric stays the headline.
+The reference-resolution preset measures 9.78 ms — under the 10 ms bar
+(vs_baseline 1.02; was 13.5 before the zu kernels); the headline pair line
+measures 6.61 ms (see docs/PERFORMANCE.md).
 
 Measures SUSTAINED latency: ``REPS`` consecutive shooting batches inside one
 jitted program (the continuous-planning serving pattern), one host sync at

@@ -562,6 +562,14 @@ def _step_math_pair(cst, patch, state2, tv2, sxy2, pts, n_k, gather2,
         tz = [_unpack_hi(tw0), _unpack_hi(tw1),
               _unpack_lo(tw0), _unpack_lo(tw1)]
         mu = None
+    elif packed_zmu == "pairz":
+        # uniform-friction pair mode: the patch is the (BP, 256) [z_A|z_B]
+        # pair-word plane alone — no friction plane exists, no mu gather,
+        # and all friction multiplies drop out (mu == 1.0 exactly, the
+        # planner's friction=None default, reference dphysics.py:561-563)
+        tz = [_unpack_pair(gather2(patch, 0, idx + off), hs)
+              for off in TAP_OFFSETS]
+        mu = None
     elif packed_zmu:
         # pair3: each tap word is [z | mu] for THIS lane's trajectory — four
         # gathers fetch both quantities, friction keeps exact bilinear
@@ -679,20 +687,20 @@ def _half_ones2():
 
 
 def _fk_pair_kernel(cst_ref, patch_ref, state_ref, tv_ref, sxy_ref, pts_ref,
-                    ones_ref, out_ref, *, n_k):
+                    ones_ref, out_ref, *, n_k, zmode=False):
     patch = patch_ref[:]
     rb = patch.shape[0]
     ones2 = ones_ref[:]
     hs = jax.lax.broadcasted_iota(jnp.int32, (rb, 128), 1) < 64
     out_ref[:] = _step_math_pair(
         cst_ref, patch, state_ref[:], tv_ref[:], sxy_ref[:], pts_ref[:],
-        n_k=n_k,
+        n_k=n_k, packed_zmu="pairz" if zmode else False,
         gather2=lambda p, b, it: _gather128(p, b, it, rb),
         reduce_halves=lambda planes: _mxu_reduce_halves(planes, ones2),
         half_mask=hs)
 
 
-def _fk_pair_xla(cst, patch, state2, tv2, sxy2, pts, n_k=4):
+def _fk_pair_xla(cst, patch, state2, tv2, sxy2, pts, n_k=4, zmode=False):
     bp = patch.shape[0]
     hs = jax.lax.broadcasted_iota(jnp.int32, (bp, 128), 1) < 64
 
@@ -706,21 +714,23 @@ def _fk_pair_xla(cst, patch, state2, tv2, sxy2, pts, n_k=4):
                 for p in planes]
 
     return _step_math_pair(cst, patch, state2, tv2, sxy2, pts, n_k=n_k,
+                           packed_zmu="pairz" if zmode else False,
                            gather2=gather2, reduce_halves=reduce_halves,
                            half_mask=hs)
 
 
-def _fk_pair_pallas(cst, patch, state2, tv2, sxy2, pts, n_k, rb):
+def _fk_pair_pallas(cst, patch, state2, tv2, sxy2, pts, n_k, rb, zmode=False):
     import functools
 
     BP = patch.shape[0]
     ones2 = _half_ones2()
     return pl.pallas_call(
-        functools.partial(_fk_pair_kernel, n_k=n_k),
+        functools.partial(_fk_pair_kernel, n_k=n_k, zmode=zmode),
         grid=(BP // rb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((rb, 512), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, patch.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, 36), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -747,6 +757,22 @@ def fk_step_pair(cst, patch, state2, tv2, sxy2, pts, n_k: int = 4):
     if jax.default_backend() == "tpu" and rb:
         return _fk_pair_pallas(cst, patch, state2, tv2, sxy2, pts, n_k, rb)
     return _fk_pair_xla(cst, patch, state2, tv2, sxy2, pts, n_k)
+
+
+def fk_step_pair_zu(cst, patch, state2, tv2, sxy2, pts, n_k: int = 4):
+    """Pair-packed fk_step for UNIFORM friction (mu == 1 exactly — the
+    planner's friction=None default, reference dphysics.py:561-563).
+
+    patch: (BP, 256) — the [z_A|z_B] pair-word plane ALONE
+    (physics/fast._extract_windows_packed with friction=None): the
+    nearest-cell friction gather and all friction multiplies drop out of
+    the kernel, and the extraction emits half the bytes.  Other args as
+    fk_step_pair.  Returns (BP, 16)."""
+    rb = _block_rows(patch.shape[0])
+    if jax.default_backend() == "tpu" and rb:
+        return _fk_pair_pallas(cst, patch, state2, tv2, sxy2, pts, n_k, rb,
+                               zmode=True)
+    return _fk_pair_xla(cst, patch, state2, tv2, sxy2, pts, n_k, zmode=True)
 
 
 # ------------------------------------------------------------- pair3 mode

@@ -134,7 +134,9 @@ def _extract_windows(z_grid, friction, qx, qy, d_max, grid_res):
 def _extract_windows_packed(z_grid, friction, qx, qy, d_max, grid_res, dqx=None, dqy=None):
     """Window extraction producing packed bf16 trajectory-pair words for
     the pair-packed planner kernel: (B/2, 512) f32 words =
-    [[z_A|z_B](256) | [mu_A|mu_B](256)] per row.
+    [[z_A|z_B](256) | [mu_A|mu_B](256)] per row — or, when ``friction`` is
+    None (uniform mu=1, the planner default), the (B/2, 256) [z_A|z_B]
+    plane alone for the friction-free fk_step_pair_zu kernel.
 
     The grids are pre-cast to bf16 so the DEFAULT-precision (single bf16
     pass) one-hot einsums still select values EXACTLY — the quantization to
@@ -163,7 +165,10 @@ def _extract_windows_packed(z_grid, friction, qx, qy, d_max, grid_res, dqx=None,
     cols = sy[:, None] + jnp.arange(_PATCH)
     oh_cols = jax.nn.one_hot(cols, W, dtype=jnp.bfloat16)
 
-    gg = jnp.concatenate([z_grid, friction], axis=-1).astype(jnp.bfloat16)
+    if friction is None:
+        gg = z_grid.astype(jnp.bfloat16)
+    else:
+        gg = jnp.concatenate([z_grid, friction], axis=-1).astype(jnp.bfloat16)
     oh_rows = jax.nn.one_hot(rows, H, dtype=jnp.bfloat16)
     # stage 1 stays bf16 end-to-end (selection of bf16 values is exact and
     # the (B, 16, 2W) intermediate is the bandwidth cost here); the final
@@ -174,7 +179,6 @@ def _extract_windows_packed(z_grid, friction, qx, qy, d_max, grid_res, dqx=None,
     else:
         rows_sel = jnp.einsum("bkh,bhw->bkw", oh_rows, gg)
     pz = jnp.einsum("bkw,bcw->bkc", rows_sel[..., :W], oh_cols, **kw)
-    pf = jnp.einsum("bkw,bcw->bkc", rows_sel[..., W:], oh_cols, **kw)
     # pz/pf hold exactly-bf16 values as f32, so their low 16 bits are zero:
     # pack per-cell TRAJECTORY-PAIR words with pure u32 bit ops (no
     # 16-bit-tile relayouts): word = [value_traj2i | value_traj2i+1], so the
@@ -184,8 +188,11 @@ def _extract_windows_packed(z_grid, friction, qx, qy, d_max, grid_res, dqx=None,
         return lax.bitcast_convert_type(
             (u[:, 0] & jnp.uint32(0xFFFF0000)) | (u[:, 1] >> 16), jnp.float32)
 
-    patch2 = jnp.concatenate([pair_words(pz), pair_words(pf)], axis=1)
     sxy = jnp.stack([sx, sy], axis=1).astype(jnp.float32)
+    if friction is None:
+        return sxy, pair_words(pz)
+    pf = jnp.einsum("bkw,bcw->bkc", rows_sel[..., W:], oh_cols, **kw)
+    patch2 = jnp.concatenate([pair_words(pz), pair_words(pf)], axis=1)
     return sxy, patch2
 
 
@@ -714,6 +721,7 @@ def planner_rollout(robot: RobotModel, z_grid, controls,
                                         with_stats=with_stats)
     from monoforce_tpu.ops.fk_step_pallas import (
         fk_step_packed, fk_step_pair, fk_step_pair3, fk_step_pair3_zu,
+        fk_step_pair_zu,
         pack_consts, pack_points, pack_points_pair, pack_points_pair3,
     )
 
@@ -721,8 +729,10 @@ def planner_rollout(robot: RobotModel, z_grid, controls,
     z_grid = jnp.asarray(z_grid, jnp.float32)
     # friction=None means EXACTLY uniform mu=1 (reference dphysics.py:561-563
     # default; the diff_physics node plans without a friction layer) — the
-    # pair3 serving path then runs the z-pair kernel: two gathers per step
-    # instead of four and no friction math at all (fk_step_pair3_zu)
+    # serving paths then run friction-free kernels: pair3 packs z-pair tap
+    # words (two gathers per step instead of four, fk_step_pair3_zu) and
+    # pair mode drops its nearest-cell mu gather + all friction multiplies
+    # and extracts only the z pair-word plane (fk_step_pair_zu)
     uniform_mu = friction is None
     if friction is None:
         friction = jnp.ones_like(z_grid)
@@ -843,15 +853,16 @@ def planner_rollout(robot: RobotModel, z_grid, controls,
 
     def _extract_pair(wx, wy, dqx, dqy):
         sxy, patch2 = _extract_windows_packed(
-            z_grid, friction, wx, wy, robot.d_max, robot.grid_res,
-            dqx, dqy)
+            z_grid, None if uniform_mu else friction, wx, wy,
+            robot.d_max, robot.grid_res, dqx, dqy)
         return sxy.reshape(-1, 4), patch2    # per-refresh relayouts only
 
     def _step_pair(windows, state18, tv_k):
         sxy2, patch2 = windows
-        return fk_step_pair(cst, patch2, state18.reshape(-1, 36),
-                            tv_k.reshape(-1, 16), sxy2, pts,
-                            n_k=n_k).reshape(-1, 8)
+        step = fk_step_pair_zu if uniform_mu else fk_step_pair
+        return step(cst, patch2, state18.reshape(-1, 36),
+                    tv_k.reshape(-1, 16), sxy2, pts,
+                    n_k=n_k).reshape(-1, 8)
 
     def _extract_pair3(wx, wy, dqx, dqy):
         # each trajectory's packed window comes from the single-trajectory

@@ -266,19 +266,22 @@ def test_planner_packed_modes_gates(n_traj, mode):
         assert _spearman(ic_e, ic_p) > 0.99, (mode, voxel)
 
 
-def test_planner_pair3_zu_matches_general():
-    """The uniform-friction z-pair serving kernel (fk_step_pair3_zu — two
-    lane gathers per step over [z(i,j)|z(i,j+1)] packed words, no friction
-    math; dispatched when friction=None, the reference dphysics.py:561-563
-    default) reproduces the general [z|mu] pair3 path run with an explicit
-    all-ones friction grid.  The two paths quantize the SAME z values to
-    bf16 and the uniform mu=1 is exact in both, so agreement is at float
-    accumulation roundoff, not quantization, level."""
+@pytest.mark.parametrize("voxel,p_expect", [(0.1, 148), (0.15, 62)])
+def test_planner_pair3_zu_matches_general(voxel, p_expect):
+    """The uniform-friction serving kernels (fk_step_pair3_zu at 0.1 m —
+    two lane gathers per step over [z(i,j)|z(i,j+1)] packed words, no
+    friction math; fk_step_pair_zu at the 0.15 m pair preset — no
+    nearest-cell mu gather, z pair-word plane alone; both dispatched when
+    friction=None, the reference dphysics.py:561-563 default) reproduce the
+    general paths run with an explicit all-ones friction grid.  The paths
+    quantize the SAME z values to bf16 and the uniform mu=1 is exact in
+    both, so agreement is at float accumulation roundoff, not quantization,
+    level."""
     from monoforce_tpu.physics.fast import planner_rollout
     from monoforce_tpu.physics.controls import shooting_controls
-    cfg = PhysicsConfig(robot="tradr", mesh_voxel_size=0.1)
+    cfg = PhysicsConfig(robot="tradr", mesh_voxel_size=voxel)
     rb = RobotModel.from_config(cfg)
-    assert rb.points.shape[0] == 148
+    assert rb.points.shape[0] == p_expect
 
     gx, gy = cfg.grid_coords()
     z = jnp.asarray((0.35 * np.exp(-((gx - 2.0) ** 2 / 3.0 + gy ** 2 / 6.0))

@@ -53,13 +53,16 @@ def main():
     key = jax.random.PRNGKey(0)
     BP = B // 2
     patch = jax.random.normal(key, (BP, 512), jnp.float32) * 0.1
+    patch_z = patch[:, :256]                      # zu modes: z plane alone
     state18 = jnp.tile(jnp.asarray(
         [0, 0, 0.2, 0.5, 0, 0, 1, 0, 0, 0, 1, 0, 0, 0, 1, 0, 0, 0.1],
         jnp.float32), (B, 1))
     tv = jnp.tile(jnp.asarray([0.5, 0.4] + [0.0] * 6, jnp.float32), (B, 1))
     sxy = jnp.tile(jnp.asarray([50.0, 50.0], jnp.float32), (B, 1))
 
-    def timed(name, fn):
+    def timed(name, fn, p_in=None):
+        p_in = patch if p_in is None else p_in
+
         @jax.jit
         def many(p, s):
             def body(carry, i):
@@ -70,11 +73,11 @@ def main():
                 return (acc + out.sum(), sc + out[:1, :1] * 1e-9), ()
             return lax.scan(body, (0.0, s), jnp.arange(args.calls))[0][0]
 
-        np.asarray(many(patch, state18))
+        np.asarray(many(p_in, state18))
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            np.asarray(many(patch, state18))
+            np.asarray(many(p_in, state18))
             ts.append(time.perf_counter() - t0)
         per = min(ts) * 1e6 / args.calls
         print(f"{name:28s} {per:8.1f} us/call  "
@@ -100,6 +103,21 @@ def main():
                                   pts, n_k=n_k)
 
         timed("pair select", sel)
+
+        def zu(p, s):
+            if args.rb:
+                # direct pallas entry with an overridden row block — probes
+                # block sizes _block_rows never picks (e.g. 1024/2048, viable
+                # for the half-width (BP, 256) zu patch)
+                return K._fk_pair_pallas(cst, p, s.reshape(-1, 36),
+                                         tv.reshape(-1, 16),
+                                         sxy.reshape(-1, 4), pts, n_k,
+                                         args.rb, zmode=True)
+            return K.fk_step_pair_zu(cst, p, s.reshape(-1, 36),
+                                     tv.reshape(-1, 16), sxy.reshape(-1, 4),
+                                     pts, n_k=n_k)
+
+        timed(f"pair zu (rb={args.rb or 'auto'})", zu, p_in=patch_z)
 
 
 if __name__ == "__main__":

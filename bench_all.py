@@ -51,17 +51,17 @@ def _record_provenance():
     (VERDICT r3 #8): write BENCH_ALL.json and append one provenance line
     (commit hash, backend, full results) to PROGRESS.jsonl."""
     import subprocess
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
     try:
         commit = subprocess.run(["git", "rev-parse", "HEAD"],
                                 capture_output=True, text=True,
-                                cwd=os.path.dirname(os.path.abspath(__file__))
-                                ).stdout.strip()
+                                cwd=repo_dir).stdout.strip()
     except Exception:
         commit = "unknown"
-    with open("BENCH_ALL.json", "w") as f:
+    with open(os.path.join(repo_dir, "BENCH_ALL.json"), "w") as f:
         for rec in _RESULTS:
             f.write(json.dumps(rec) + "\n")
-    with open("PROGRESS.jsonl", "a") as f:
+    with open(os.path.join(repo_dir, "PROGRESS.jsonl"), "a") as f:
         f.write(json.dumps({
             "ts": time.time(), "kind": "bench_all", "commit": commit,
             "backend": jax.default_backend(),

@@ -45,17 +45,12 @@ from jax.experimental.pallas import tpu as pltpu
 from monoforce_tpu.ops.interp_pallas import (TAP_OFFSETS, _block_rows,
                                              _gather128)
 
-__all__ = ["fk_step", "fk_step_pair", "fk_step_pair3", "fk_step_pair3_zu",
-           "fk_step_packed",
+__all__ = ["fk_step", "fk_step_pair", "fk_step_pair_zu", "fk_step_pair3",
+           "fk_step_pair3_zu", "fk_step_packed",
            "pack_consts", "pack_points", "pack_points_pair",
            "pack_points_pair3"]
 
 _RB = 512
-
-import os as _os
-_MM_PREC = {"highest": lax.Precision.HIGHEST, "high": lax.Precision.HIGH,
-            "default": lax.Precision.DEFAULT}[_os.environ.get("MM_PREC", "highest")]
-_MM_RB = int(_os.environ.get("MM_RB", "0"))
 
 
 def _gather_lanes(patch, base, it, rb):

@@ -71,16 +71,18 @@ __all__ = ["fast_rollout", "planner_rollout", "StepStats"]
 _HI = lax.Precision.HIGHEST
 _PATCH = 16
 _REFRESH = 8        # steps between window refreshes (exact/fast path)
-_REFRESH_PAIR = 16  # planner pair mode: documented drift trade (see
-                    # planner_rollout docstring; OOB taps clamp gracefully)
 _REFRESH_PRED = 32  # planner cadence WITH motion-predicted window corners:
                     # the extractors place each window over the UNION of the
                     # footprint now and at the velocity-predicted end of the
-                    # block, so translation drift (the dominant term) is
-                    # covered exactly and only curvature/rotation residue
-                    # consumes the margin — half the extractions of the old
-                    # 16-step cadence at the same trajectory-RMSE gates
-                    # (tests/test_fast.py, 9 gates incl. rough-terrain)
+                    # block.  Coverage bound: the union corner takes the MIN
+                    # of the two footprints into a fixed 16-cell window with
+                    # a 1-cell rear margin, so leading-edge taps are in-window
+                    # while footprint extent + |v|*t_block <= ~13 cells; past
+                    # that (rotated diagonal + max speed at the 0.1 m preset)
+                    # edge taps clamp gracefully late in a block — same
+                    # failure mode as the old 16-step cadence, and all
+                    # trajectory-RMSE gates hold (tests/test_fast.py, 9 gates
+                    # incl. rough-terrain)
 
 
 class StepStats(NamedTuple):
@@ -152,8 +154,10 @@ def _extract_windows_packed(z_grid, friction, qx, qy, d_max, grid_res, dqx=None,
     else:
         # motion-predicted corner: cover the UNION of the footprint now and
         # at the predicted end-of-block position (body velocity x block
-        # duration), so the refresh cadence can stretch to _REFRESH_PAIR
+        # duration), so the refresh cadence can stretch to _REFRESH_PRED
         # steps without the trailing-edge taps drifting out of the window
+        # (coverage bound: extent + |v|*t_block <= ~13 cells, see
+        # _REFRESH_PRED)
         xi2 = ((qx + dqx + d_max) / grid_res).astype(jnp.int32)
         yi2 = ((qy + dqy + d_max) / grid_res).astype(jnp.int32)
         sx = jnp.clip(jnp.minimum(jnp.min(xi, axis=1), jnp.min(xi2, axis=1))
@@ -213,8 +217,10 @@ def _extract_windows_packed1(z_grid, friction, qx, qy, d_max, grid_res, dqx=None
     else:
         # motion-predicted corner: cover the UNION of the footprint now and
         # at the predicted end-of-block position (body velocity x block
-        # duration), so the refresh cadence can stretch to _REFRESH_PAIR
+        # duration), so the refresh cadence can stretch to _REFRESH_PRED
         # steps without the trailing-edge taps drifting out of the window
+        # (coverage bound: extent + |v|*t_block <= ~13 cells, see
+        # _REFRESH_PRED)
         xi2 = ((qx + dqx + d_max) / grid_res).astype(jnp.int32)
         yi2 = ((qy + dqy + d_max) / grid_res).astype(jnp.int32)
         sx = jnp.clip(jnp.minimum(jnp.min(xi, axis=1), jnp.min(xi2, axis=1))
@@ -260,8 +266,10 @@ def _extract_windows_zpair(z_grid, qx, qy, d_max, grid_res,
     else:
         # motion-predicted corner: cover the UNION of the footprint now and
         # at the predicted end-of-block position (body velocity x block
-        # duration), so the refresh cadence can stretch to _REFRESH_PAIR
+        # duration), so the refresh cadence can stretch to _REFRESH_PRED
         # steps without the trailing-edge taps drifting out of the window
+        # (coverage bound: extent + |v|*t_block <= ~13 cells, see
+        # _REFRESH_PRED)
         xi2 = ((qx + dqx + d_max) / grid_res).astype(jnp.int32)
         yi2 = ((qy + dqy + d_max) / grid_res).astype(jnp.int32)
         sx = jnp.clip(jnp.minimum(jnp.min(xi, axis=1), jnp.min(xi2, axis=1))
@@ -890,10 +898,10 @@ def planner_rollout(robot: RobotModel, z_grid, controls,
     tv_t = jnp.concatenate(
         [tv_t, jnp.zeros(tv_t.shape[:2] + (8 - K,), jnp.float32)], axis=-1)
     n_total = tv_t.shape[0]
-    # all serving modes refresh every 24 steps with motion-predicted window
-    # corners: the window covers the union of the footprint now and at the
-    # velocity-predicted end of the block, so only curvature/rotation
-    # residue consumes the 1-cell margin; OOB taps clamp gracefully
+    # all serving modes refresh every _REFRESH_PRED (32) steps with
+    # motion-predicted window corners: the window covers the union of the
+    # footprint now and at the velocity-predicted end of the block (see the
+    # coverage bound at _REFRESH_PRED); OOB taps clamp gracefully
     refresh = _REFRESH_PRED
     n_blocks, rem = divmod(n_total, refresh)
 

@@ -66,7 +66,8 @@ from jax import lax
 
 from monoforce_tpu.physics.engine import RigidState, RobotModel, _default_state0
 
-__all__ = ["fast_rollout", "planner_rollout", "StepStats"]
+__all__ = ["fast_rollout", "planner_rollout", "planner_kernel_mode",
+           "StepStats"]
 
 _HI = lax.Precision.HIGHEST
 _PATCH = 16
@@ -676,6 +677,34 @@ def fast_rollout(robot: RobotModel, z_grid, controls,
     return states, stats
 
 
+def planner_kernel_mode(robot: RobotModel, batch_size: int,
+                        uniform_friction: bool = True) -> str:
+    """Which serving kernel :func:`planner_rollout` will engage.
+
+    This IS the dispatch (planner_rollout routes through it), exposed so the
+    suite can pin each named preset to its intended kernel — a silent
+    fallback to a slower mode would otherwise pass every accuracy test while
+    losing the measured latency (docs/PERFORMANCE.md).  Returns one of:
+
+    - ``"pair_zu"`` / ``"pair"``   — P <= 64, B % 16 == 0 (e.g. the 0.15 m
+      serving presets, P=62); ``_zu`` when friction is uniform
+      (friction=None, the reference planner default, dphysics.py:561-563)
+    - ``"pair3_zu"`` / ``"pair3"`` — 64 < P <= 192, B % 16 == 0 (incl. the
+      reference's 0.1 m contact resolution, P=148)
+    - ``"packed"``  — P <= 256 but the batch cannot pair (B % 16 != 0)
+    - ``"fallback"`` — non-euler integration or P > 256 (fast_rollout)
+    """
+    P = robot.points.shape[0]
+    if robot.integration_mode != "euler" or P > 256:
+        return "fallback"
+    zu = "_zu" if uniform_friction else ""
+    if P <= 64 and batch_size % 16 == 0:
+        return "pair" + zu
+    if 64 < P <= 192 and batch_size % 16 == 0:
+        return "pair3" + zu
+    return "packed"
+
+
 @functools.partial(jax.jit, static_argnames=("with_stats",))
 def planner_rollout(robot: RobotModel, z_grid, controls,
                     state0: Optional[RigidState] = None, friction=None,
@@ -722,7 +751,9 @@ def planner_rollout(robot: RobotModel, z_grid, controls,
     test_planner_pair_mode*).
     """
     P = robot.points.shape[0]
-    if robot.integration_mode != "euler" or P > 256:
+    mode = planner_kernel_mode(robot, controls.shape[0],
+                               uniform_friction=friction is None)
+    if mode == "fallback":
         return fast_rollout.__wrapped__(robot, z_grid, controls,
                                         state0=state0, friction=friction,
                                         track_vels=track_vels,
@@ -761,12 +792,12 @@ def planner_rollout(robot: RobotModel, z_grid, controls,
     # the pair kernel serves any even batch whose half lands on the (8, 128)
     # sublane tile grid (fk_step_pallas._block_rows) — from the online
     # node's B=64 through the 4096-trajectory bench
-    pair = P <= 64 and controls.shape[0] % 16 == 0
+    pair = mode.startswith("pair") and not mode.startswith("pair3")
     # pair3: 64 < P <= 192 presets (incl. the reference's 0.1 m cloud,
     # P=148) pack two trajectories across THREE registers (192 lanes each)
     # — 25% less per-point math than packed single mode's 2x256 lanes, at
     # unchanged gather cost and exact bilinear friction
-    pair3 = not pair and 64 < P <= 192 and controls.shape[0] % 16 == 0
+    pair3 = mode.startswith("pair3")
     if pair:
         pts = pack_points_pair(robot)
     elif pair3:

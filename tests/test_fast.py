@@ -468,3 +468,39 @@ def test_planner_pair_mode_all_robots():
             (np.asarray(s_p.x) - np.asarray(s_e.x)) ** 2)))
         assert rmse < 5e-3, (name, rmse)
         assert np.isfinite(np.asarray(st.spring_std)).all()
+
+
+@pytest.mark.smoke
+def test_planner_kernel_mode_pins_presets():
+    """Every named serving preset must engage its intended kernel mode.
+
+    planner_rollout routes its dispatch through planner_kernel_mode, so this
+    pin IS the dispatch: a refactor that silently demotes a preset to a
+    slower mode (e.g. pair -> packed) would pass every accuracy gate while
+    losing the measured latency (docs/PERFORMANCE.md).  The pinned pairs are
+    the benchmarked workloads: the 0.15 m serving presets (bench.py headline,
+    BENCH_ALL online tick), the reference's 0.1 m contact resolution
+    (dphys_config.py:8; bench.py reference-resolution lines), and the
+    fallback/packed demotions that are SUPPOSED to happen."""
+    from monoforce_tpu.physics.fast import planner_kernel_mode
+
+    # 0.15 m-class serving presets: pair packing, zu when friction uniform
+    for name in ("tradr", "marv", "husky"):
+        rb = RobotModel.from_config(PhysicsConfig.for_planner(name))
+        assert planner_kernel_mode(rb, 64) == "pair_zu", name
+        assert planner_kernel_mode(rb, 64, uniform_friction=False) == "pair", name
+
+    # reference 0.1 m contact resolution (P=148): pair3 packing
+    rb_ref = RobotModel.from_config(
+        PhysicsConfig(robot="tradr", mesh_voxel_size=0.1))
+    assert rb_ref.points.shape[0] == 148
+    assert planner_kernel_mode(rb_ref, 64) == "pair3_zu"
+    assert planner_kernel_mode(rb_ref, 64, uniform_friction=False) == "pair3"
+
+    # batches that cannot pair (B % 16 != 0) demote to packed single mode
+    assert planner_kernel_mode(rb_ref, 50) == "packed"
+
+    # non-euler integration falls back to fast_rollout
+    rb_rk4 = RobotModel.from_config(
+        PhysicsConfig(robot="tradr", integration_mode="rk4"))
+    assert planner_kernel_mode(rb_rk4, 64) == "fallback"

@@ -70,9 +70,15 @@ OUTER = int(os.environ.get("BENCH_OUTER", 3))
 
 
 
-def _measure(cfg):
+def _measure(cfg, with_friction: bool = False):
     """Sustained ms per B_TOTAL x N_STEPS shooting batch for one contact
-    preset (REPS batches inside one jitted program, best of OUTER syncs)."""
+    preset (REPS batches inside one jitted program, best of OUTER syncs).
+
+    ``with_friction`` runs the fused monoforce node's exact semantics: the
+    predicted per-cell friction grid rides along with the terrain
+    (monoforce_node.py:157-159 passes meta.friction into dphysics) — the
+    kernel does four bilinear [z|mu] gathers + mu math per step instead of
+    the friction-free zu variant's two z-pair gathers."""
     robot = RobotModel.from_config(cfg)
 
     # gaussian-hill terrain shared across the shooting batch (the online
@@ -80,6 +86,11 @@ def _measure(cfg):
     gx, gy = cfg.grid_coords()
     z_np = 0.4 * np.exp(-((gx - 2.0) ** 2 / 4.0 + gy ** 2 / 8.0))
     z = jnp.asarray(z_np, dtype=jnp.float32)
+    friction = None
+    if with_friction:
+        # a non-uniform grid shaped like the encoder's friction head output
+        fr_np = 0.7 + 0.25 * np.sin(1.3 * gx) * np.cos(0.9 * gy)
+        friction = jnp.asarray(fr_np, dtype=jnp.float32)
 
     key = jax.random.PRNGKey(0)
     controls = jax.random.uniform(key, (B_TOTAL, N_STEPS, 2),
@@ -90,7 +101,8 @@ def _measure(cfg):
         def body(acc, i):
             # perturb controls per repeat so no work can be hoisted
             states, stats = planner_rollout.__wrapped__(robot, zg,
-                                                        ctr + i * 1e-4)
+                                                        ctr + i * 1e-4,
+                                                        friction=friction)
             costs = force_variance_cost(stats.spring_std)
             return acc + costs.sum(), ()
         return lax.scan(body, 0.0, jnp.arange(REPS))[0]
@@ -116,6 +128,20 @@ def main():
         "value": round(ms_ref, 3),
         "unit": "ms",
         "vs_baseline": round(TARGET_MS / ms_ref, 3),
+    }))
+
+    # the fused monoforce node's EXACT flagship workload: reference contact
+    # resolution (0.1 m) WITH the predicted per-cell friction grid
+    # (monoforce_node.py:157-159) — pair3 mu kernel, four bilinear [z|mu]
+    # gathers per step
+    ms_mu = _measure(PhysicsConfig(robot="tradr", mesh_voxel_size=0.1),
+                     with_friction=True)
+    print(json.dumps({
+        "metric": (f"shooting_rollout_{B_TOTAL}x{N_STEPS}"
+                   "_reference_resolution_with_friction"),
+        "value": round(ms_mu, 3),
+        "unit": "ms",
+        "vs_baseline": round(TARGET_MS / ms_mu, 3),
     }))
 
     # headline: serving-grade preset, P<=64 contact points engage

@@ -46,7 +46,7 @@ from monoforce_tpu.ops.interp_pallas import (TAP_OFFSETS, _block_rows,
                                              _gather128)
 
 __all__ = ["fk_step", "fk_step_pair", "fk_step_pair_zu", "fk_step_pair3",
-           "fk_step_pair3_zu", "fk_step_packed",
+           "fk_step_pair3_muq", "fk_step_pair3_zu", "fk_step_packed",
            "pack_consts", "pack_points", "pack_points_pair",
            "pack_points_pair3"]
 
@@ -565,6 +565,28 @@ def _step_math_pair(cst, patch, state2, tv2, sxy2, pts, n_k, gather2,
         tz = [_unpack_pair(gather2(patch, 0, idx + off), hs)
               for off in TAP_OFFSETS]
         mu = None
+    elif packed_zmu == "muq":
+        # pair3 with a NON-uniform friction grid at the gather information
+        # floor: z rides the zu path's z-pair words (two gathers fetch all
+        # four bf16 bilinear taps), and ONE more gather fetches a friction
+        # QUAD word — the four mu taps of this cell packed as u8 at scale
+        # 1/64 in TAP_OFFSETS order [c, c+16, c+1, c+17] — applied with the
+        # exact reference bilinear weights.  Three gathers total (vs four
+        # for the [z|mu] layout): 8 tap values x >=8 significant bits
+        # cannot fit fewer 32-bit gathers.  The accuracy trade vs
+        # fk_step_pair3 is mu's u8 step (<=1/128 absolute, comparable to
+        # the bf16 z taps' own quantization and finer than pair mode's
+        # nearest-cell mu); gated in tests/test_fast.py::test_muq_*.
+        tw0 = gather2(patch, 0, idx)
+        tw1 = gather2(patch, 0, idx + 16)
+        tz = [_unpack_hi(tw0), _unpack_hi(tw1),
+              _unpack_lo(tw0), _unpack_lo(tw1)]
+        mq = lax.bitcast_convert_type(gather2(patch, 256, idx), jnp.int32)
+        m0 = ((mq >> 24) & 255).astype(jnp.float32)
+        m1 = ((mq >> 16) & 255).astype(jnp.float32)
+        m2 = ((mq >> 8) & 255).astype(jnp.float32)
+        m3 = (mq & 255).astype(jnp.float32)
+        mu = (w_cc * m0 + w_cf * m1 + w_lc * m2 + w_fl * m3) * (1.0 / 64.0)
     elif packed_zmu:
         # pair3: each tap word is [z | mu] for THIS lane's trajectory — four
         # gathers fetch both quantities, friction keeps exact bilinear
@@ -805,21 +827,22 @@ def pack_points_pair3(robot) -> jax.Array:
     return jnp.stack(rows)
 
 
-def _gather384(patch, it, rb):
+def _gather384(patch, it, rb, base_a=0, base_b=256):
     """Per-lane routed gather for pair3: lanes 0-191 read trajectory A's
-    packed window (patch[:, 0:256]), lanes 192-383 read B's (256:512).
-    Chunk 0 is pure A, chunk 2 pure B; only the middle chunk pays a second
-    ladder + select."""
+    packed window (patch[:, base_a:base_a+256]), lanes 192-383 read B's
+    (base_b:base_b+256).  Chunk 0 is pure A, chunk 2 pure B; only the middle
+    chunk pays a second ladder + select.  Non-default bases address the muq
+    layout's planes ([zpair_A | muquad_A | zpair_B | muquad_B], 1024 wide)."""
     outs = []
     for ci in range(3):
         idxc = it[:, ci * 128:(ci + 1) * 128]
         if ci == 0:
-            outs.append(_gather128(patch, 0, idxc, rb))
+            outs.append(_gather128(patch, base_a, idxc, rb))
         elif ci == 2:
-            outs.append(_gather128(patch, 256, idxc, rb))
+            outs.append(_gather128(patch, base_b, idxc, rb))
         else:
-            ga = _gather128(patch, 0, idxc, rb)
-            gb = _gather128(patch, 256, idxc, rb)
+            ga = _gather128(patch, base_a, idxc, rb)
+            gb = _gather128(patch, base_b, idxc, rb)
             hsc = jax.lax.broadcasted_iota(jnp.int32, (rb, 128), 1) < 64
             outs.append(jnp.where(hsc, ga, gb))
     return jnp.concatenate(outs, axis=1)
@@ -841,10 +864,14 @@ def _fk_pair3_kernel(cst_ref, patch_ref, state_ref, tv_ref, sxy_ref, pts_ref,
     rb = patch.shape[0]
     ones2 = ones_ref[:]
     hs = jax.lax.broadcasted_iota(jnp.int32, (rb, 384), 1) < 192
+    # muq layout is [zpair_A | muquad_A | zpair_B | muquad_B] (1024 wide):
+    # trajectory B's plane of either kind sits 512 past A's
+    b_off = 512 if zmode == "muq" else 256
     out_ref[:] = _step_math_pair(
         cst_ref, patch, state_ref[:], tv_ref[:], sxy_ref[:], pts_ref[:],
         n_k=n_k,
-        gather2=lambda p, b, it: _gather384(p, it, rb),
+        gather2=lambda p, b, it: _gather384(p, it, rb, base_a=b,
+                                            base_b=b + b_off),
         reduce_halves=lambda planes: _mxu_reduce_halves(planes, ones2),
         half_mask=hs, packed_zmu=zmode)
 
@@ -852,11 +879,13 @@ def _fk_pair3_kernel(cst_ref, patch_ref, state_ref, tv_ref, sxy_ref, pts_ref,
 def _fk_pair3_xla(cst, patch, state2, tv2, sxy2, pts, n_k=4, zmode=True):
     bp = patch.shape[0]
     hs = jax.lax.broadcasted_iota(jnp.int32, (bp, 384), 1) < 192
+    b_off = 512 if zmode == "muq" else 256
 
     def gather2(p, base, it):
         ic = jnp.clip(it, 0, 255)
-        va = jnp.take_along_axis(p[:, 0:256], ic, axis=1)
-        vb = jnp.take_along_axis(p[:, 256:512], ic, axis=1)
+        va = jnp.take_along_axis(p[:, base:base + 256], ic, axis=1)
+        vb = jnp.take_along_axis(p[:, base + b_off:base + b_off + 256],
+                                 ic, axis=1)
         return jnp.where(hs, va, vb)
 
     def reduce_halves(planes):
@@ -880,7 +909,8 @@ def _fk_pair3_pallas(cst, patch, state2, tv2, sxy2, pts, n_k, rb,
         grid=(BP // rb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((rb, 512), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, patch.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, 36), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -933,5 +963,35 @@ def fk_step_pair3_zu(cst, patch, state2, tv2, sxy2, pts, n_k: int = 4):
                                 zmode="zpair")
     return _fk_pair3_xla(cst, patch, state2, tv2, sxy2, pts, n_k,
                          zmode="zpair")
+
+
+def fk_step_pair3_muq(cst, patch, state2, tv2, sxy2, pts, n_k: int = 4):
+    """Non-uniform-friction pair3 fk_step at the gather information floor:
+    THREE gathers per step instead of fk_step_pair3's four.  z rides the zu
+    kernel's z-pair words ([z(i,j) | z(i,j+1)] bf16 — two gathers fetch all
+    four bilinear taps) and one more gather fetches a friction QUAD word
+    packing this cell's four mu taps as u8 (scale 1/64, TAP_OFFSETS order),
+    applied with the exact reference bilinear weights (dphysics.py:231-235).
+
+    Serving default for the fused monoforce node's flagship workload (0.1 m
+    contact cloud WITH the predicted friction grid,
+    monoforce_ros/nodes/monoforce_node.py:157-159).  Accuracy trades vs the
+    exact path: the bf16 z taps (shared with every serving kernel) plus
+    mu's u8 step (<=1/128 absolute — finer than pair mode's gated
+    nearest-cell mu trade); fk_step_pair3 (exact bf16 bilinear mu) is the
+    oracle in tests/test_fast.py::test_muq_*.
+
+    patch: (BP, 1024) = [zpair_A(256) | muquad_A(256) | zpair_B | muquad_B]
+    (physics/fast._extract_windows_zmuq, reshaped); other args as
+    fk_step_pair3.  Returns (BP, 16).
+    """
+    rb = _block_rows(patch.shape[0])
+    if jax.default_backend() == "tpu" and rb:
+        if rb > 256:
+            rb = 256
+        return _fk_pair3_pallas(cst, patch, state2, tv2, sxy2, pts, n_k, rb,
+                                zmode="muq")
+    return _fk_pair3_xla(cst, patch, state2, tv2, sxy2, pts, n_k,
+                         zmode="muq")
 
 

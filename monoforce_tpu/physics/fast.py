@@ -299,6 +299,82 @@ def _extract_windows_zpair(z_grid, qx, qy, d_max, grid_res,
     return sxy, words
 
 
+def quantize_mu_grid(friction):
+    """u8-quantize a friction grid for the muq serving path: scale 1/64
+    (range [0, 3.98], step <=1/128 absolute — comparable to the bf16 z-tap
+    trade and finer than pair mode's nearest-cell mu), returned as EXACT
+    f32 integers 0..255 so the bf16 one-hot window einsums still select the
+    values exactly.  Loop-invariant: called once per rollout, not per
+    window refresh (the per-refresh round/clip chain cost a measured
+    ~0.25 ms/refresh at B=4096)."""
+    return jnp.clip(jnp.round(friction * 64.0), 0.0, 255.0)
+
+
+def _extract_windows_zmuq(z_grid, mu_q, qx, qy, d_max, grid_res,
+                          dqx=None, dqy=None):
+    """Window extraction for the NON-uniform-friction serving path at the
+    gather information floor: (B, 512) = [zpair(256) | muquad(256)] per
+    trajectory.  zpair words are the zu layout's bf16 [z(i,j) | z(i,j+1)]
+    (two kernel gathers fetch all four bilinear z taps); each muquad word
+    packs the four friction taps of its cell — mu at TAP_OFFSETS order
+    [c, c+16, c+1, c+17] — as u8 lanes, so ONE kernel gather fetches all
+    four.  ``mu_q`` is the PRE-quantized grid from :func:`quantize_mu_grid`
+    (exact f32 integers 0..255).  Consumed by fk_step_pair3_muq after the
+    (B, 512) -> (B/2, 1024) pair reshape."""
+    H, W = z_grid.shape[-2:]
+    B = qx.shape[0]
+    xi = ((qx + d_max) / grid_res).astype(jnp.int32)
+    yi = ((qy + d_max) / grid_res).astype(jnp.int32)
+    if dqx is None:
+        sx = jnp.clip(jnp.min(xi, axis=1) - 2, 0, H - _PATCH)
+        sy = jnp.clip(jnp.min(yi, axis=1) - 2, 0, W - _PATCH)
+    else:
+        # motion-predicted corner (see _REFRESH_PRED coverage bound)
+        xi2 = ((qx + dqx + d_max) / grid_res).astype(jnp.int32)
+        yi2 = ((qy + dqy + d_max) / grid_res).astype(jnp.int32)
+        sx = jnp.clip(jnp.minimum(jnp.min(xi, axis=1), jnp.min(xi2, axis=1))
+                      - 1, 0, H - _PATCH)
+        sy = jnp.clip(jnp.minimum(jnp.min(yi, axis=1), jnp.min(yi2, axis=1))
+                      - 1, 0, W - _PATCH)
+
+    rows = sx[:, None] + jnp.arange(_PATCH)
+    cols = sy[:, None] + jnp.arange(_PATCH)
+    oh_cols = jax.nn.one_hot(cols, W, dtype=jnp.bfloat16)
+    gg = jnp.concatenate([z_grid, mu_q], axis=-1).astype(jnp.bfloat16)
+    oh_rows = jax.nn.one_hot(rows, H, dtype=jnp.bfloat16)
+    kw = dict(preferred_element_type=jnp.float32)
+    if gg.ndim == 2:
+        rows_sel = jnp.einsum("bkh,hw->bkw", oh_rows, gg)
+    else:
+        rows_sel = jnp.einsum("bkh,bhw->bkw", oh_rows, gg)
+    pz = jnp.einsum("bkw,bcw->bkc", rows_sel[..., :W], oh_cols, **kw)
+    pf = jnp.einsum("bkw,bcw->bkc", rows_sel[..., W:], oh_cols, **kw)
+
+    # zpair plane: bf16 [z(i,j) | z(i,j+1)] packed in u32 ops (see
+    # _extract_windows_zpair)
+    pzn = jnp.concatenate([pz[:, :, 1:], pz[:, :, 15:16]], axis=2)
+    uz = lax.bitcast_convert_type(pz.reshape(B, 256), jnp.uint32)
+    un = lax.bitcast_convert_type(pzn.reshape(B, 256), jnp.uint32)
+    zwords = lax.bitcast_convert_type(
+        (uz & jnp.uint32(0xFFFF0000)) | (un >> 16), jnp.float32)
+
+    # muquad plane: the four taps of cell (i, j) in TAP_OFFSETS order
+    # [ (i,j), (i+1,j), (i,j+1), (i+1,j+1) ] as u8 lanes.  pf holds the
+    # pre-quantized EXACT integers 0..255, so two f32 mul-adds build each
+    # u16 half exactly (<= 65535 < 2^24) and one shift|or fuses the word —
+    # no per-window round/clip.  Kernel index math clips to i,j <= 14, so
+    # the edge-replicated shift rows/cols are never addressed
+    m0 = pf
+    m1 = jnp.concatenate([pf[:, 1:, :], pf[:, 15:16, :]], axis=1)
+    m2 = jnp.concatenate([pf[:, :, 1:], pf[:, :, 15:16]], axis=2)
+    m3 = jnp.concatenate([m1[:, :, 1:], m1[:, :, 15:16]], axis=2)
+    u_hi = (m0 * 256.0 + m1).reshape(B, 256).astype(jnp.int32)
+    u_lo = (m2 * 256.0 + m3).reshape(B, 256).astype(jnp.int32)
+    mwords = lax.bitcast_convert_type((u_hi << 16) | u_lo, jnp.float32)
+    sxy = jnp.stack([sx, sy], axis=1).astype(jnp.float32)
+    return sxy, jnp.concatenate([zwords, mwords], axis=1)
+
+
 def _rodrigues_components(r, w0, w1, w2, dt, eps=1e-6):
     """R <- R expm([w]_x dt) expanded over the nine rotation entries.
 
@@ -689,8 +765,11 @@ def planner_kernel_mode(robot: RobotModel, batch_size: int,
     - ``"pair_zu"`` / ``"pair"``   — P <= 64, B % 16 == 0 (e.g. the 0.15 m
       serving presets, P=62); ``_zu`` when friction is uniform
       (friction=None, the reference planner default, dphysics.py:561-563)
-    - ``"pair3_zu"`` / ``"pair3"`` — 64 < P <= 192, B % 16 == 0 (incl. the
-      reference's 0.1 m contact resolution, P=148)
+    - ``"pair3_zu"`` / ``"pair3_muq"`` — 64 < P <= 192, B % 16 == 0 (incl.
+      the reference's 0.1 m contact resolution, P=148); ``_muq`` when a
+      friction grid rides along (the fused monoforce node's flagship
+      workload, monoforce_node.py:157-159): z-pair words + one u8
+      friction-quad gather — three gathers/step, the information floor
     - ``"packed"``  — P <= 256 but the batch cannot pair (B % 16 != 0)
     - ``"fallback"`` — non-euler integration or P > 256 (fast_rollout)
     """
@@ -701,7 +780,7 @@ def planner_kernel_mode(robot: RobotModel, batch_size: int,
     if P <= 64 and batch_size % 16 == 0:
         return "pair" + zu
     if 64 < P <= 192 and batch_size % 16 == 0:
-        return "pair3" + zu
+        return "pair3" + (zu or "_muq")
     return "packed"
 
 
@@ -733,15 +812,20 @@ def planner_rollout(robot: RobotModel, z_grid, controls,
 
     For 64 < P <= 192 contact presets — including the reference's own 0.1 m
     voxel resolution (138-202 points, dphys_config.py:8) — the kernel runs
-    in **pair3 mode** (``fk_step_pair3``): two trajectories per row across
-    THREE 128-lane registers (192 lanes each), bf16 [z|mu] packed tap words
-    (four gathers fetch height AND friction with the exact reference
-    bilinear weights) and half-width window extraction.  Batches whose
-    shape cannot pair (B % 16 != 0) or presets up to P <= 256 fall to
-    **packed single mode** (``fk_step_packed``): one trajectory per row
-    over up to two registers with the same packed tap words.  The only
-    accuracy trade vs the exact path in either mode is the bf16 tap
-    quantization (gated in tests/test_fast.py::test_planner_packed_*).
+    in **pair3 mode**: two trajectories per row across THREE 128-lane
+    registers (192 lanes each).  With a friction grid riding along (the
+    fused monoforce node's flagship workload, monoforce_node.py:157-159)
+    the ``fk_step_pair3_muq`` kernel runs at the gather information floor:
+    bf16 z-pair words (two gathers fetch all four bilinear z taps) plus ONE
+    u8 friction-quad gather, applied with the exact reference bilinear
+    weights — the mu trade is the u8 step (<=1/128 absolute), gated against
+    the exact-bilinear ``fk_step_pair3`` oracle in
+    tests/test_fast.py::test_muq_*.  Batches whose shape cannot pair
+    (B % 16 != 0) or presets up to P <= 256 fall to **packed single mode**
+    (``fk_step_packed``): one trajectory per row over up to two registers
+    with bf16 [z|mu] packed tap words.  The shared accuracy trade vs the
+    exact path in every mode is the bf16 z-tap quantization (gated in
+    tests/test_fast.py::test_planner_packed_*).
 
     Restrictions (falls back to :func:`fast_rollout` otherwise): no flipper
     articulation, euler integration, <= 256 contact points.  Forward-parity
@@ -759,7 +843,7 @@ def planner_rollout(robot: RobotModel, z_grid, controls,
                                         track_vels=track_vels,
                                         with_stats=with_stats)
     from monoforce_tpu.ops.fk_step_pallas import (
-        fk_step_packed, fk_step_pair, fk_step_pair3, fk_step_pair3_zu,
+        fk_step_packed, fk_step_pair, fk_step_pair3_muq, fk_step_pair3_zu,
         fk_step_pair_zu,
         pack_consts, pack_points, pack_points_pair, pack_points_pair3,
     )
@@ -795,8 +879,8 @@ def planner_rollout(robot: RobotModel, z_grid, controls,
     pair = mode.startswith("pair") and not mode.startswith("pair3")
     # pair3: 64 < P <= 192 presets (incl. the reference's 0.1 m cloud,
     # P=148) pack two trajectories across THREE registers (192 lanes each)
-    # — 25% less per-point math than packed single mode's 2x256 lanes, at
-    # unchanged gather cost and exact bilinear friction
+    # — 25% less per-point math than packed single mode's 2x256 lanes;
+    # friction (when non-uniform) rides one u8 quad gather (muq kernel)
     pair3 = mode.startswith("pair3")
     if pair:
         pts = pack_points_pair(robot)
@@ -903,23 +987,29 @@ def planner_rollout(robot: RobotModel, z_grid, controls,
                     tv_k.reshape(-1, 16), sxy2, pts,
                     n_k=n_k).reshape(-1, 8)
 
+    # muq path: quantize the friction grid ONCE per rollout (exact f32
+    # integers 0..255 ride the bf16 window einsums; the per-refresh
+    # round/clip chain this replaces cost a measured ~0.25 ms/refresh)
+    mu_q3 = quantize_mu_grid(friction) if not uniform_mu else None
+
     def _extract_pair3(wx, wy, dqx, dqy):
         # each trajectory's packed window comes from the single-trajectory
-        # extractor ([z|mu] words — or [z(j)|z(j+1)] z-pair words when the
-        # friction is uniform); the (B, 256) -> (B/2, 512) reshape
-        # concatenates the pair's windows into the kernel's [w_A | w_B] rows
+        # extractor ([z(j)|z(j+1)] z-pair words when the friction is
+        # uniform; [zpair | u8 muquad] when a grid rides along); the
+        # per-trajectory -> pair reshape concatenates the pair's windows
+        # into the kernel's [w_A | w_B] rows
         if uniform_mu:
             sxy, patch1 = _extract_windows_zpair(
                 z_grid, wx, wy, robot.d_max, robot.grid_res, dqx, dqy)
         else:
-            sxy, patch1 = _extract_windows_packed1(
-                z_grid, friction, wx, wy, robot.d_max, robot.grid_res,
+            sxy, patch1 = _extract_windows_zmuq(
+                z_grid, mu_q3, wx, wy, robot.d_max, robot.grid_res,
                 dqx, dqy)
-        return sxy.reshape(-1, 4), patch1.reshape(-1, 512)
+        return sxy.reshape(-1, 4), patch1.reshape(-1, 2 * patch1.shape[1])
 
     def _step_pair3(windows, state18, tv_k):
         sxy2, patch2 = windows
-        step = fk_step_pair3_zu if uniform_mu else fk_step_pair3
+        step = fk_step_pair3_zu if uniform_mu else fk_step_pair3_muq
         return step(cst, patch2, state18.reshape(-1, 36),
                     tv_k.reshape(-1, 16), sxy2, pts,
                     n_k=n_k).reshape(-1, 8)

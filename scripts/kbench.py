@@ -54,6 +54,7 @@ def main():
     BP = B // 2
     patch = jax.random.normal(key, (BP, 512), jnp.float32) * 0.1
     patch_z = patch[:, :256]                      # zu modes: z plane alone
+    patch_q = jnp.concatenate([patch, patch], axis=1)   # muq: 1024 wide
     state18 = jnp.tile(jnp.asarray(
         [0, 0, 0.2, 0.5, 0, 0, 1, 0, 0, 0, 1, 0, 0, 0, 1, 0, 0, 0.1],
         jnp.float32), (B, 1))
@@ -94,8 +95,14 @@ def main():
                                       tv.reshape(-1, 16), sxy.reshape(-1, 4),
                                       pts, n_k=n_k)
 
+        def muq(p, s):
+            return K.fk_step_pair3_muq(cst, p, s.reshape(-1, 36),
+                                       tv.reshape(-1, 16), sxy.reshape(-1, 4),
+                                       pts, n_k=n_k)
+
         timed("pair3 select", sel)
         timed("pair3 zu", zu)
+        timed("pair3 muq", muq, p_in=patch_q)
     else:
         def sel(p, s):
             return K.fk_step_pair(cst, p, s.reshape(-1, 36),

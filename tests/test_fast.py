@@ -392,6 +392,93 @@ def test_fk_step_exact_vs_pair3_taps():
                                    rtol=0.02)  # contact counts
 
 
+def test_muq_taps_vs_exact_pair3():
+    """fk_step_pair3_muq (z-pair words + ONE u8 friction-quad gather — the
+    3-gather information floor) reproduces fk_step_pair3's accelerations
+    (exact bf16 bilinear mu, the oracle) to the u8 quantization bound on
+    the same windows/state, for both reference-resolution presets.  The z
+    taps quantize identically in both layouts, so the ONLY delta is mu's
+    u8 step (<=1/128 absolute) propagating through the friction force."""
+    from monoforce_tpu.ops.fk_step_pallas import (
+        fk_step_pair3, fk_step_pair3_muq, pack_consts, pack_points_pair3,
+    )
+    from monoforce_tpu.physics.fast import (
+        _extract_windows_packed1, _extract_windows_zmuq, _make_consts,
+        _world_xy, _unpack_state, quantize_mu_grid,
+    )
+    from monoforce_tpu.physics.engine import RigidState
+
+    for voxel in (0.1, 0.11):
+        cfg = PhysicsConfig(robot="tradr", mesh_voxel_size=voxel)
+        rb = RobotModel.from_config(cfg)
+        rng = np.random.default_rng(5)
+        B = 8
+        z = jnp.asarray(rng.normal(scale=0.1,
+                                   size=(128, 128)).astype(np.float32))
+        fr = jnp.asarray(rng.uniform(0.3, 1.0, (128, 128)).astype(np.float32))
+        x = jnp.asarray(rng.uniform(-1, 1, (B, 3)).astype(np.float32))
+        state0 = RigidState(x, jnp.zeros((B, 3)),
+                            jnp.broadcast_to(jnp.eye(3), (B, 3, 3)),
+                            jnp.zeros((B, 3)))
+        c = _make_consts(rb)
+        st = _unpack_state(state0)
+        wx, wy = _world_xy(c, st, c.px, c.py, c.pz)
+        _, patch1 = _extract_windows_packed1(z, fr, wx, wy, rb.d_max,
+                                             rb.grid_res)
+        sxy, patchq = _extract_windows_zmuq(z, quantize_mu_grid(fr), wx, wy,
+                                            rb.d_max, rb.grid_res)
+        cst = pack_consts(rb)
+        state18 = jnp.stack(st, axis=1)
+        tv = jnp.zeros((B, 8), jnp.float32).at[:, 0].set(0.5).at[:, 1].set(0.4)
+        pts3 = pack_points_pair3(rb)
+        acc_o = np.asarray(fk_step_pair3(
+            cst, patch1.reshape(-1, 512), state18.reshape(-1, 36),
+            tv.reshape(-1, 16), sxy.reshape(-1, 4), pts3)).reshape(-1, 8)
+        acc_q = np.asarray(fk_step_pair3_muq(
+            cst, patchq.reshape(-1, 1024), state18.reshape(-1, 36),
+            tv.reshape(-1, 16), sxy.reshape(-1, 4), pts3)).reshape(-1, 8)
+        # contact counts and spring-driven stats are mu-independent
+        np.testing.assert_allclose(acc_q[:, 7], acc_o[:, 7], rtol=1e-6)
+        np.testing.assert_allclose(acc_q[:, :6], acc_o[:, :6],
+                                   atol=0.05, rtol=0.01)
+
+
+def test_muq_cost_ranking_with_friction():
+    """The muq serving path (the fused node's flagship workload: 0.1 m
+    cloud + a non-uniform friction grid, monoforce_node.py:157-159) keeps
+    within-preset cost rankings and trajectory RMSE vs the exact fast path
+    — same gates as the other serving modes."""
+    from monoforce_tpu.physics.fast import planner_rollout
+    from monoforce_tpu.physics.controls import shooting_controls
+    from monoforce_tpu.planner.shooting import (
+        force_variance_cost, inclination_cost,
+    )
+    cfg = PhysicsConfig(robot="tradr", mesh_voxel_size=0.1)
+    rb = RobotModel.from_config(cfg)
+    assert rb.points.shape[0] == 148
+
+    gx, gy = cfg.grid_coords()
+    z = jnp.asarray((0.35 * np.exp(-((gx - 2.0) ** 2 / 3.0 + gy ** 2 / 6.0))
+                     + 0.08 * np.sin(2.2 * gx) * np.cos(1.7 * gy))
+                    .astype(np.float32))
+    fr = jnp.asarray((0.7 + 0.25 * np.sin(1.3 * gx) * np.cos(0.9 * gy))
+                     .astype(np.float32))
+    ctr, _ = shooting_controls(jax.random.PRNGKey(7), 32, 1.0, 1.0, 1.0, 0.01)
+
+    s_exact, st_exact = fast_rollout(rb, z, ctr, friction=fr)
+    s_q, st_q = planner_rollout(rb, z, ctr, friction=fr)
+    rmse_x = float(np.sqrt(np.mean(
+        (np.asarray(s_q.x) - np.asarray(s_exact.x)) ** 2)))
+    assert rmse_x < 2e-3, rmse_x
+
+    fv_e = np.asarray(force_variance_cost(st_exact.spring_std))
+    fv_q = np.asarray(force_variance_cost(st_q.spring_std))
+    ic_e = np.asarray(inclination_cost(st_exact.abs_roll, st_exact.abs_pitch))
+    ic_q = np.asarray(inclination_cost(st_q.abs_roll, st_q.abs_pitch))
+    assert _spearman(fv_e, fv_q) > 0.99
+    assert _spearman(ic_e, ic_q) > 0.99
+
+
 @pytest.mark.parametrize("B", [4, 16])  # 4 -> packed single, 16 -> pair3
 def test_planner_packed_rough_terrain_rmse(B):
     """Packed single AND pair3 modes stay within the documented bf16-tap
@@ -495,7 +582,8 @@ def test_planner_kernel_mode_pins_presets():
         PhysicsConfig(robot="tradr", mesh_voxel_size=0.1))
     assert rb_ref.points.shape[0] == 148
     assert planner_kernel_mode(rb_ref, 64) == "pair3_zu"
-    assert planner_kernel_mode(rb_ref, 64, uniform_friction=False) == "pair3"
+    assert planner_kernel_mode(rb_ref, 64,
+                               uniform_friction=False) == "pair3_muq"
 
     # batches that cannot pair (B % 16 != 0) demote to packed single mode
     assert planner_kernel_mode(rb_ref, 50) == "packed"

@@ -66,12 +66,27 @@ def main():
     ap.add_argument("--real", choices=["marv", "tradr"], default=None,
                     help="overfit the reference's committed REAL data sample "
                          "for this robot instead of the synthetic fixture")
+    ap.add_argument("--staged", type=int, default=0, metavar="WARM_STEPS",
+                    help="reproduce the reference's staged production recipe "
+                         "(train.sh:8-17): WARM_STEPS of heightmap-only "
+                         "warm-up at --lr first (playing the role of the "
+                         "pretrained val.pth init the reference loads, "
+                         "train.sh:13-17), then --steps WITH the physics "
+                         "term from that init at --lr2 (the reference's "
+                         "production lr 1e-4, train.sh:11).  This is how the "
+                         "physics term trains stably on real data — "
+                         "phys-from-scratch on one frame diverges (the "
+                         "measured negative result below).")
+    ap.add_argument("--lr2", type=float, default=1e-4,
+                    help="stage-2 lr for --staged (reference train.sh:11)")
     ap.add_argument("--cpu", action="store_true",
                     help="pin to CPU (matches the CI gate environment)")
     args = ap.parse_args()
     if args.out is None:
-        args.out = os.path.join(_REPO, "docs", "convergence",
-                                *(("real", args.real) if args.real else ()))
+        args.out = os.path.join(
+            _REPO, "docs", "convergence",
+            *(("real", args.real + ("_staged" if args.staged else ""))
+              if args.real else ()))
 
     import jax
     if args.cpu:
@@ -108,24 +123,53 @@ def main():
                         grid_conf=lss_dict["grid_conf"],
                         soft_classes=lss_dict["soft_classes"])
     if args.phys_weight is None:
-        args.phys_weight = 0.0 if args.real else 1.0
-    trainer = Trainer(dphys_cfg=dphys, lss_cfg=lss_cfg, lr=args.lr,
-                      phys_weight=args.phys_weight,
-                      log_dir=os.path.join(tmp, "run"))
-    batch = tuple(jnp.asarray(b) for b in next(iter(loader)))
-    trainer.init_state(batch)
+        # staged runs exist to show pw>0 converging on real data; only the
+        # UNstaged real overfit needs pw=0 (the measured negative result)
+        args.phys_weight = 0.0 if (args.real and not args.staged) else 1.0
 
     os.makedirs(args.out, exist_ok=True)
     rows = []
     rng = jax.random.PRNGKey(0)
-    for i in range(args.steps):
-        rng, sub = jax.random.split(rng)
-        trainer.state, aux = trainer.train_step(trainer.state, batch, sub)
-        rows.append({"step": i, **{k: float(v) for k, v in aux.items()}})
-        if i % 25 == 0 or i == args.steps - 1:
-            print(f"step {i:4d}  " + "  ".join(
-                f"{k}={rows[-1][k]:.4f}" for k in
-                ("total", "geom", "terrain", "phys")))
+    batch = None
+
+    def run_stage(trainer, steps, stage):
+        nonlocal rng, batch
+        if batch is None:
+            batch = tuple(jnp.asarray(b) for b in next(iter(loader)))
+        for i in range(steps):
+            rng, sub = jax.random.split(rng)
+            trainer.state, aux = trainer.train_step(trainer.state, batch, sub)
+            rows.append({"step": len(rows), "stage": stage,
+                         **{k: float(v) for k, v in aux.items()}})
+            if i % 25 == 0 or i == steps - 1:
+                print(f"{stage} {i:4d}  " + "  ".join(
+                    f"{k}={rows[-1][k]:.4f}" for k in
+                    ("total", "geom", "terrain", "phys")))
+
+    if args.staged:
+        # stage 1: heightmap-only warm-up (the pretrained-encoder surrogate,
+        # reference train.sh:13-17)
+        warm = Trainer(dphys_cfg=dphys, lss_cfg=lss_cfg, lr=args.lr,
+                       phys_weight=0.0, log_dir=os.path.join(tmp, "warm"))
+        warm.init_state(batch := tuple(jnp.asarray(b)
+                                       for b in next(iter(loader))))
+        run_stage(warm, args.staged, "warm")
+        # stage 2: enable the physics term from the warm init at the
+        # production lr (reference train.sh:11)
+        trainer = Trainer(dphys_cfg=dphys, lss_cfg=lss_cfg, lr=args.lr2,
+                          phys_weight=args.phys_weight,
+                          log_dir=os.path.join(tmp, "run"))
+        trainer.init_state(batch)
+        trainer.state = trainer.state.replace(
+            params=warm.state.params, batch_stats=warm.state.batch_stats)
+        run_stage(trainer, args.steps, "phys")
+    else:
+        trainer = Trainer(dphys_cfg=dphys, lss_cfg=lss_cfg, lr=args.lr,
+                          phys_weight=args.phys_weight,
+                          log_dir=os.path.join(tmp, "run"))
+        trainer.init_state(batch := tuple(jnp.asarray(b)
+                                          for b in next(iter(loader))))
+        run_stage(trainer, args.steps, "train")
 
     with open(os.path.join(args.out, "losses.jsonl"), "w") as f:
         for r in rows:
@@ -139,12 +183,19 @@ def main():
     steps = [r["step"] for r in rows]
     for k in ("total", "geom", "terrain", "phys"):
         ax.plot(steps, [max(r[k], 1e-8) for r in rows], label=k)
+    if args.staged:
+        ax.axvline(args.staged - 0.5, color="k", ls="--", alpha=0.5)
+        ax.text(args.staged, ax.get_ylim()[1], "  phys on (lr 1e-4)",
+                va="top", fontsize=8)
     ax.set_yscale("log")
     ax.set_xlabel("train step")
     ax.set_ylabel("loss")
     what = (f"the REAL {args.real} data_sample frame" if args.real
             else "the synthetic fixture batch")
-    ax.set_title(f"Overfitting {what} (lr={args.lr:g}, {args.steps} steps)")
+    recipe = (f"staged: {args.staged} warm @ lr={args.lr:g}, then "
+              f"{args.steps} phys @ lr={args.lr2:g}" if args.staged
+              else f"lr={args.lr:g}, {args.steps} steps")
+    ax.set_title(f"Overfitting {what} ({recipe})")
     ax.grid(True, alpha=0.3)
     ax.legend()
     fig.tight_layout()
@@ -161,6 +212,24 @@ def main():
                "first": {k: first[k] for k in ("total", "geom", "terrain", "phys")},
                "final": {k: last[k] for k in ("total", "geom", "terrain", "phys")},
                "improvement_x": first["total"] / max(last["total"], 1e-9)}
+    if args.staged:
+        pstage = [r for r in rows if r["stage"] == "phys"]
+        summary["staged"] = {
+            "warm_steps": args.staged, "warm_lr": args.lr,
+            "phys_steps": args.steps, "phys_lr": args.lr2,
+            "phys_first": {k: pstage[0][k]
+                           for k in ("total", "geom", "terrain", "phys")},
+            "phys_final": {k: pstage[-1][k]
+                           for k in ("total", "geom", "terrain", "phys")},
+            "phys_term_improvement_x": (pstage[0]["phys"]
+                                        / max(pstage[-1]["phys"], 1e-9)),
+            "phys_stage_max_total": max(r["total"] for r in pstage),
+        }
+        print(f"phys term: {pstage[0]['phys']:.4f} -> "
+              f"{pstage[-1]['phys']:.4f} "
+              f"({summary['staged']['phys_term_improvement_x']:.1f}x), "
+              f"max total in phys stage "
+              f"{summary['staged']['phys_stage_max_total']:.4f}")
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
 

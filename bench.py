@@ -30,6 +30,17 @@ The reference-resolution preset measures 9.78 ms — under the 10 ms bar
 (vs_baseline 1.02; was 13.5 before the zu kernels); the headline pair line
 measures 6.61 ms (see docs/PERFORMANCE.md).
 
+A THIRD line (VERDICT r4 #3) covers the fused monoforce node's flagship
+workload — the 0.1 m cloud WITH the predicted per-cell friction grid
+(monoforce_node.py:157-159) on the pair3 muq kernel (3 gathers/step: bf16
+z-pair words + one u8 friction-quad word, the gather information floor):
+**10.75 ms** (vs_baseline 0.93).  The 10 ms bar is NOT reachable for this
+workload with these kernels: the kernel alone measures 98.6 us/step =
+9.86 ms/100 steps (kbench, 2000-call scan), and 8 bilinear taps x >=8
+significant bits cannot fit fewer than three 32-bit gathers without
+degrading z below bf16.  Extraction adds the remaining ~0.9 ms (274
+us/refresh x 4, within 6% of the friction-free zpair extractor).
+
 Measures SUSTAINED latency: ``REPS`` consecutive shooting batches inside one
 jitted program (the continuous-planning serving pattern), one host sync at
 the end.  The axon test harness has a ~32 ms fixed dispatch floor per host

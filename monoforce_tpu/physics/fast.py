@@ -340,15 +340,19 @@ def _extract_windows_zmuq(z_grid, mu_q, qx, qy, d_max, grid_res,
     rows = sx[:, None] + jnp.arange(_PATCH)
     cols = sy[:, None] + jnp.arange(_PATCH)
     oh_cols = jax.nn.one_hot(cols, W, dtype=jnp.bfloat16)
-    gg = jnp.concatenate([z_grid, mu_q], axis=-1).astype(jnp.bfloat16)
+    # STACK the z and mu planes on a leading axis (NOT concatenated along w):
+    # both einsum outputs slice contiguously on that axis, where the
+    # concatenated layout's rows_sel[..., W:] strided slice forced a 33 MB
+    # copy per refresh — measured 639 -> 274 us/refresh (bit-exact)
+    g2 = jnp.stack([z_grid, mu_q], axis=0).astype(jnp.bfloat16)
     oh_rows = jax.nn.one_hot(rows, H, dtype=jnp.bfloat16)
     kw = dict(preferred_element_type=jnp.float32)
-    if gg.ndim == 2:
-        rows_sel = jnp.einsum("bkh,hw->bkw", oh_rows, gg)
+    if z_grid.ndim == 2:
+        rows_sel = jnp.einsum("bkh,shw->sbkw", oh_rows, g2)
     else:
-        rows_sel = jnp.einsum("bkh,bhw->bkw", oh_rows, gg)
-    pz = jnp.einsum("bkw,bcw->bkc", rows_sel[..., :W], oh_cols, **kw)
-    pf = jnp.einsum("bkw,bcw->bkc", rows_sel[..., W:], oh_cols, **kw)
+        rows_sel = jnp.einsum("bkh,sbhw->sbkw", oh_rows, g2)
+    p2 = jnp.einsum("sbkw,bcw->sbkc", rows_sel, oh_cols, **kw)
+    pz, pf = p2[0], p2[1]
 
     # zpair plane: bf16 [z(i,j) | z(i,j+1)] packed in u32 ops (see
     # _extract_windows_zpair)

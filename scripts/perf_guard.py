@@ -106,6 +106,12 @@ def measure_kernels(calls):
                                      tv.reshape(-1, 16), sxy.reshape(-1, 4),
                                      pts3, n_k=n_k3),
         patch, state18, calls)
+    patch_q = jnp.concatenate([patch, patch], axis=1)   # muq: 1024 wide
+    out["kernel_pair3_muq_us"] = _timed_kernel(
+        lambda p, s: K.fk_step_pair3_muq(cst3, p, s.reshape(-1, 36),
+                                         tv.reshape(-1, 16),
+                                         sxy.reshape(-1, 4), pts3, n_k=n_k3),
+        patch_q, state18, calls)
     return out
 
 

@@ -79,8 +79,21 @@ def main():
                          "measured negative result below).")
     ap.add_argument("--lr2", type=float, default=1e-4,
                     help="stage-2 lr for --staged (reference train.sh:11)")
+    ap.add_argument("--dphys_grid_res", type=float, default=0.4,
+                    help="physics grid resolution for --real: the rollout "
+                         "runs on the BEV heightmap POOLED to this "
+                         "resolution (the reference's production bridge, "
+                         "train.py:38,96-99 — it never trains physics at "
+                         "the raw 0.1 m encoder grid)")
+    ap.add_argument("--terrain-weight", type=float, default=2.0,
+                    help="terrain-loss weight (train.py:35 default 2.0; "
+                         "the production train.sh:13 uses 3.0)")
     ap.add_argument("--cpu", action="store_true",
                     help="pin to CPU (matches the CI gate environment)")
+    ap.add_argument("--save-ckpt", default=None, metavar="DIR",
+                    help="save the final params/batch_stats as an orbax "
+                         "checkpoint (consumable by scripts/eval.py "
+                         "--checkpoint — the val.pth role, train.sh:13-17)")
     args = ap.parse_args()
     if args.out is None:
         args.out = os.path.join(
@@ -109,7 +122,8 @@ def main():
         seq = os.path.join(tmp, args.real)
         shutil.copytree(src, seq)  # loaders write caches; the ref is RO
         lss_dict = read_yaml(os.path.join(ref_root, "config", "lss_cfg.yaml"))
-        dphys = PhysicsConfig(robot=args.real)
+        dphys = PhysicsConfig(robot=args.real,
+                              grid_res=args.dphys_grid_res)
         batch_size = 1
     else:
         from fixtures import make_sequence, tiny_lss_cfg
@@ -150,6 +164,7 @@ def main():
         # stage 1: heightmap-only warm-up (the pretrained-encoder surrogate,
         # reference train.sh:13-17)
         warm = Trainer(dphys_cfg=dphys, lss_cfg=lss_cfg, lr=args.lr,
+                       terrain_weight=args.terrain_weight,
                        phys_weight=0.0, log_dir=os.path.join(tmp, "warm"))
         warm.init_state(batch := tuple(jnp.asarray(b)
                                        for b in next(iter(loader))))
@@ -157,6 +172,7 @@ def main():
         # stage 2: enable the physics term from the warm init at the
         # production lr (reference train.sh:11)
         trainer = Trainer(dphys_cfg=dphys, lss_cfg=lss_cfg, lr=args.lr2,
+                          terrain_weight=args.terrain_weight,
                           phys_weight=args.phys_weight,
                           log_dir=os.path.join(tmp, "run"))
         trainer.init_state(batch)
@@ -165,6 +181,7 @@ def main():
         run_stage(trainer, args.steps, "phys")
     else:
         trainer = Trainer(dphys_cfg=dphys, lss_cfg=lss_cfg, lr=args.lr,
+                          terrain_weight=args.terrain_weight,
                           phys_weight=args.phys_weight,
                           log_dir=os.path.join(tmp, "run"))
         trainer.init_state(batch := tuple(jnp.asarray(b)
@@ -232,6 +249,14 @@ def main():
               f"{summary['staged']['phys_stage_max_total']:.4f}")
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
+
+    if args.save_ckpt:
+        import orbax.checkpoint as ocp
+        ckpt_dir = os.path.abspath(args.save_ckpt)
+        ocp.StandardCheckpointer().save(
+            ckpt_dir, {"params": trainer.state.params,
+                       "batch_stats": trainer.state.batch_stats})
+        print(f"saved checkpoint -> {ckpt_dir}")
 
     if args.real:
         # predicted-vs-GT terrain + trajectory figure on the trained params

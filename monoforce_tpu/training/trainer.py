@@ -46,14 +46,27 @@ class TrainState(train_state.TrainState):
     batch_stats: Any = None
 
 
+def zero_non_finite():
+    """Zero NaN AND ±inf gradient entries (strictly stronger than
+    ``optax.zero_nans``, which passes inf through — an inf entry makes the
+    global norm inf, so ``clip_by_global_norm`` scales by 1/inf = 0 and the
+    inf entry itself becomes inf*0 = NaN DOWNSTREAM of the zero_nans stage,
+    poisoning Adam's moments and then the params)."""
+    return optax.stateless(
+        lambda updates, params: jax.tree.map(
+            lambda u: jnp.where(jnp.isfinite(u), u, jnp.zeros_like(u)),
+            updates))
+
+
 def make_optimizer(lr: float = 1e-3, weight_decay: float = 1e-7,
                    max_grad_norm: float = 1.0):
-    """zero-NaN -> clip -> L2 -> Adam(0.8, 0.999) (reference
-    train.py:151,374-375; the zero_nans stage is our improvement over the
-    reference's crash-on-NaN behavior — stray overflow in the stiff-contact
-    BPTT becomes a skipped gradient contribution instead of a dead run)."""
+    """zero-non-finite -> clip -> L2 -> Adam(0.8, 0.999) (reference
+    train.py:151,374-375; the zero_non_finite stage is our improvement over
+    the reference's crash-on-NaN behavior — stray overflow in the
+    stiff-contact BPTT becomes a skipped gradient contribution instead of a
+    dead run)."""
     return optax.chain(
-        optax.zero_nans(),
+        zero_non_finite(),
         optax.clip_by_global_norm(max_grad_norm),
         optax.add_decayed_weights(weight_decay),
         optax.scale_by_adam(b1=0.8, b2=0.999),

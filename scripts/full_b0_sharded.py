@@ -44,13 +44,13 @@ def main():
     _log(f"backend up: {N_DEVICES} {jax.default_backend()} devices")
 
     import jax.numpy as jnp
-    import optax
 
     from __graft_entry__ import _fake_inputs, _tiny_cfgs
     from monoforce_tpu.models import LiftSplatShoot
     from monoforce_tpu.parallel import make_mesh, replicated, shard_batch
     from monoforce_tpu.physics.engine import RobotModel
-    from monoforce_tpu.training.trainer import TrainState, make_train_step
+    from monoforce_tpu.training.trainer import (TrainState, make_optimizer,
+                                                make_train_step)
 
     mesh = make_mesh(N_DEVICES)
     lss_cfg, dphys_cfg = _tiny_cfgs()
@@ -86,7 +86,14 @@ def main():
                    for p in jax.tree.leaves(variables["params"]))
     _log(f"model.init done: {n_params:,} params (full B0 trunk)")
 
-    tx = optax.adam(1e-4)
+    # the PRODUCTION optimizer chain (trainer.py make_optimizer:
+    # zero_non_finite -> clip 1.0 -> wd -> Adam(0.8, 0.999)).  Plain
+    # optax.adam is NOT equivalent here: on this untrained-random-init +
+    # random-terrain synthetic batch the 500-step stiff-contact BPTT emits a
+    # NaN gradient cotangent, which plain Adam writes straight into the
+    # params (observed: finite step-1 loss, NaN step-2 forward);
+    # zero_non_finite is the production guard for exactly that.
+    tx = make_optimizer(1e-4)
     state0 = TrainState.create(apply_fn=model.apply,
                                params=variables["params"], tx=tx,
                                batch_stats=variables.get("batch_stats", {}))
@@ -106,6 +113,10 @@ def main():
                 for a, b in zip(jax.tree.leaves(state0.params),
                                 jax.tree.leaves(state1.params)))
     assert moved, "train step left every parameter unchanged"
+    assert all(np.isfinite(np.asarray(p)).all()
+               for p in jax.tree.leaves(state1.params)), \
+        "step-1 update wrote non-finite params"
+    _log("step-1 params: all finite")
     t0 = time.time()
     state2, aux2 = train_step(state1, batch_dp, jax.random.PRNGKey(2))
     jax.block_until_ready(aux2["total"])

@@ -33,6 +33,40 @@ def setup(tmp_path_factory):
     return trainer, loader, batch, log_dir
 
 
+@pytest.mark.smoke
+def test_make_optimizer_zeroes_nan_gradients():
+    """The production chain (make_optimizer: zero_non_finite -> clip ->
+    Adam) must turn a NaN/inf gradient into a skipped contribution, never
+    NaN params.
+
+    This is the exact failure observed with plain ``optax.adam`` on the
+    full-B0 sharded artifact (scripts/full_b0_sharded.py): the stiff-contact
+    BPTT emitted a NaN cotangent, Adam wrote it into the params, and the
+    NEXT forward pass was NaN — finite loss at step k, NaN at step k+1.
+    The reference crashes on this (its NaN handling is an emergency
+    checkpoint + abort, train.py); the guard is our documented improvement
+    (trainer.py make_optimizer docstring).  The inf leg matters separately:
+    ``optax.zero_nans`` would pass inf to clip_by_global_norm, where
+    inf * (1/inf) = NaN re-enters downstream of the guard.
+    """
+    from monoforce_tpu.training.trainer import make_optimizer
+
+    params = {"a": jnp.ones((3,)), "b": jnp.full((2,), 2.0)}
+    grads = {"a": jnp.array([jnp.nan, jnp.inf, 1.0]),
+             "b": jnp.array([0.5, -0.5])}
+    tx = make_optimizer(lr=1e-2)
+    opt_state = tx.init(params)
+    updates, _ = tx.update(grads, opt_state, params)
+    import optax
+    new_params = optax.apply_updates(params, updates)
+    for leaf in jax.tree.leaves(new_params):
+        assert np.isfinite(np.asarray(leaf)).all()
+    # the clean gradient leaf still learns (weight decay alone is ~1e-7*2,
+    # far below the ~1e-2 Adam step)
+    assert not np.allclose(np.asarray(new_params["b"]),
+                           np.asarray(params["b"]), atol=1e-4)
+
+
 def test_avg_pool_grid():
     x = jnp.arange(16.0).reshape(1, 1, 4, 4)
     y = avg_pool_grid(x, 2)
